@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline query catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "catalog_wall_clock", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Each query is executed to completion (results materialized via
+collect — all catalog queries return small aggregates/top-k). The
+first query additionally warms the JVM; a separate `hub_scan_meps`
+metric reports events/sec scanned on the windowed-aggregation query as
+a throughput figure comparable to the reference's 0.2 ms/event worked
+example (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-eventhubs-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup on a tiny query (not timed)
+    try:
+        qs["hub_offset_discovery"](spark, sf_dir).collect()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failed query must not hide the rest
+            failures[name] = str(e).split("\n")[0][:200]
+
+    # throughput: events scanned per second on the windowed agg
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    t0 = time.time()
+    qs["hub_window_agg"](spark, sf_dir).collect()
+    scan_s = time.time() - t0
+    meps = round(n_events / scan_s / 1e6, 3) if scan_s > 0 else -1
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "catalog_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "events_rows": n_events,
+        "hub_scan_meps": meps,
+    }
+    if failures:
+        out["failures"] = failures
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Deduplication operators over the ``documents`` table.
+
+North-star LLM-pipeline operators (SURVEY §2.3):
+- exact dedup (content-hash groupBy)
+- MinHash + LSH near-dup candidate pairs (shingle -> minhash ->
+  band -> bucket equi-join)
+- SimHash (bitwise majority over token hashes)
+- n-gram Jaccard verification of candidate pairs
+
+Design for 100 TB:
+- everything is shuffle-on-key DataFrame ops: the only joins are
+  equi-joins on (band_idx, band_hash) buckets — never a cross join;
+- shingling/minhashing is one explode + one groupBy (map-side combined);
+- dedup keeps min(doc_id) per cluster so the job is a plain
+  aggregation, not a window;
+- hashes are the shared md5-based 60-bit primitive
+  (functions/hashing.py) so every step has a DuckDB oracle twin;
+  swap ``fast=True`` to use xxhash64 (faster, not oracle-checkable).
+
+Reference note: the reference connector has no dedup operators; its
+docs delegate dedup to Spark (README.md:23-24 "map, reduce, join,
+window" over hub data). These operators extend that surface.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.functions.hashing import md5_hash64, oracle_md5_hash64
+from spark_eventhubs_spark.operators.text import normalize_text, tokens_col
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_SIZE = 4
+DEFAULT_SHINGLE = 3
+
+
+# ---- exact dedup ----
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized content: (fingerprint,
+    keep_doc_id = min(doc_id), n_dupes)."""
+    return (
+        df.select(F.col("doc_id"), F.md5(normalize_text(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_dupes"),
+        )
+    )
+
+
+def oracle_exact_dedup() -> str:
+    return """SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  MIN(doc_id) AS keep_doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents
+GROUP BY 1"""
+
+
+# ---- shingles ----
+
+def shingles_col(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>).
+    Documents shorter than k tokens yield their full token string."""
+    toks = tokens_col(normalize_text(text))
+    joined = F.array_join(toks, " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(F.when(n > 0, sh).otherwise(F.array(joined)))
+
+
+def _oracle_tokens_norm(expr: str) -> str:
+    return ("list_filter(regexp_split_to_array("
+            f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')), ' '), x -> x <> '')")
+
+
+def oracle_shingles_cte(k: int = DEFAULT_SHINGLE) -> str:
+    """CTE ``sh(doc_id, shingle)`` — exploded distinct shingles."""
+    toks = _oracle_tokens_norm("text")
+    return f"""WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), sh_arr AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) > 0 THEN
+      list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                     i -> array_to_string(t[i:i+{k - 1}], ' '))
+      ELSE [array_to_string(t, ' ')] END) AS shingles
+  FROM toks
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh_arr
+)"""
+
+
+# ---- MinHash signatures ----
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): per-seed min over shingle hashes.
+
+    One explode + one groupBy with N min-aggregates — map-side
+    combine keeps the shuffle at |docs| rows regardless of text size.
+    """
+    exploded = df.select(
+        F.col("doc_id"), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle")
+    )
+    aggs = [
+        F.min(md5_hash64(F.col("shingle"), seed=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def oracle_minhash_signatures(
+    num_hashes: int = DEFAULT_NUM_HASHES, shingle_k: int = DEFAULT_SHINGLE
+) -> str:
+    mins = ",\n  ".join(
+        f"MIN({oracle_md5_hash64('shingle', seed=i)}) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"""{oracle_shingles_cte(shingle_k)}
+SELECT doc_id,
+  {mins}
+FROM sh
+GROUP BY doc_id"""
+
+
+# ---- LSH banding -> candidate pairs ----
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
+
+    bands = num_hashes / band_size; band hash = md5 hash of the
+    concatenated band slice. The pair join is an equi-join on
+    (band_idx, band_hash) — bucket sizes stay small so the shuffle is
+    skew-safe; no O(n^2) stage exists anywhere.
+    """
+    assert num_hashes % band_size == 0
+    sig = minhash_signatures(df, text_col, num_hashes, shingle_k)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                md5_hash64(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_hash"),
+            )
+        )
+    banded = sig.select(F.col("doc_id"), F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def oracle_lsh_candidate_pairs(
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> str:
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        concat = " || ',' || ".join(
+            f"CAST(mh_{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_idx, "
+                         f"{oracle_md5_hash64(f'({concat})')} AS band_hash FROM sig")
+    bands_union = "\nUNION ALL\n".join(band_rows)
+    mins = ",\n    ".join(
+        f"MIN({oracle_md5_hash64('shingle', seed=i)}) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"""{oracle_shingles_cte(shingle_k)}, sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh
+  GROUP BY doc_id
+), bands AS (
+{bands_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id"""
+
+
+# ---- n-gram Jaccard verification ----
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, in basis points.
+    ``pairs`` must have (doc_a, doc_b). Joins are equi-joins on doc id;
+    the shingle arrays ride along (no re-explode)."""
+    sets_df = df.select(
+        F.col("doc_id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    )
+    return (
+        pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.lit(10000)
+                * F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).cast("long").alias("jaccard_bp"),
+        )
+    )
+
+
+# ---- SimHash ----
+
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over token hashes: bit b of the signature is 1
+    iff the majority of tokens have bit b set in their md5 hash.
+    One explode + one groupBy with ``bits`` sum-aggregates."""
+    exploded = df.select(
+        F.col("doc_id"),
+        F.explode(tokens_col(normalize_text(F.col(text_col)))).alias("tok"),
+    ).select("doc_id", md5_hash64(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    summed = exploded.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return summed.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def oracle_simhash(bits: int = 16) -> str:
+    toks = _oracle_tokens_norm("text")
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {oracle_md5_hash64('tok')} AS h FROM toks
+), summed AS (
+  SELECT doc_id,
+    {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM summed"""

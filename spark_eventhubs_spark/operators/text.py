@@ -1,0 +1,165 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star LLM-pipeline operators (SURVEY §2.3): language-ID, quality
+scoring, token counting, document fingerprinting. All are pure
+DataFrame expressions (JVM-side, whole-stage codegen — no Python UDFs
+in the hot path) and each has an exact DuckDB-SQL twin for the oracle.
+
+Determinism conventions shared with the oracle:
+- tokens = non-empty splits on ``\\s+``
+- ratios are returned as integer basis points (``floor(10000 * x)``) so
+  no float formatting can diverge between engines
+- fingerprints are md5 hex strings of whitespace-normalized lowercased
+  text (md5 is bit-identical in both engines)
+
+Scale: every operator is a narrow projection — no shuffle, no UDF; at
+100 TB these run at parquet-scan speed and column-prune to
+(doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed English stopword list used by quality scoring + lang-ID.
+# Kept tiny and hard-coded so the oracle SQL can inline it.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+_PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Non-empty whitespace tokens (shared with oracle)."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword count: number of
+    matches of ``[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]`` (a crude
+    fixed-width stand-in for BPE merges, deterministic in SQL)."""
+    toks = tokens_col(F.col(text_col))
+    bpe = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
+    return df.select(
+        F.col("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        bpe.cast("long").alias("n_subwords"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword based quality features, all
+    integers (basis points)."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    punct_chars = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))
+    ).cast("long")
+    avg_tok_len_bp = F.when(n_tok > 0,
+                            F.floor(F.lit(10000) * (n_chars - n_tok + 1) / n_tok)
+                            ).otherwise(F.lit(0)).cast("long")
+    return df.select(
+        F.col("doc_id"),
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.when(n_chars > 0, F.floor(F.lit(10000) * punct_chars / n_chars))
+        .otherwise(F.lit(0)).cast("long").alias("punct_bp"),
+        F.when(n_tok > 0, F.floor(F.lit(10000) * stop_hits / n_tok))
+        .otherwise(F.lit(0)).cast("long").alias("stopword_bp"),
+        avg_tok_len_bp.alias("avg_token_len_bp"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tiny deterministic language heuristic: English-stopword density.
+    >= 500 bp -> 'en', >0 -> 'en-ish', else 'unknown'. (A real n-gram
+    model plugs in behind the same signature; determinism is the point
+    here so the oracle can replicate it.)"""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))).cast("long")
+    density_bp = F.when(n_tok > 0, F.floor(F.lit(10000) * stop_hits / n_tok)).otherwise(F.lit(0))
+    return df.select(
+        F.col("doc_id"),
+        F.when(density_bp >= 500, F.lit("en"))
+        .when(density_bp > 0, F.lit("en-ish"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_guess"),
+        density_bp.cast("long").alias("stop_density_bp"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase + collapse whitespace runs to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of normalized text (content hash for
+    exact dedup and incremental recrawl detection)."""
+    return df.select(
+        F.col("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+# ---- DuckDB oracle twins ----
+
+def _oracle_tokens(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), x -> x <> '')"
+
+
+_ORACLE_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def oracle_token_count() -> str:
+    return f"""SELECT doc_id,
+  CAST(len({_oracle_tokens('text')}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords
+FROM documents"""
+
+
+def oracle_quality_score() -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS punct_chars,
+         CAST(len(list_filter({toks}, x -> lower(x) IN {_ORACLE_STOP})) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens,
+  CAST(CASE WHEN n_chars_m > 0 THEN FLOOR(10000.0 * punct_chars / n_chars_m) ELSE 0 END AS BIGINT) AS punct_bp,
+  CAST(CASE WHEN n_tokens > 0 THEN FLOOR(10000.0 * stop_hits / n_tokens) ELSE 0 END AS BIGINT) AS stopword_bp,
+  CAST(CASE WHEN n_tokens > 0 THEN FLOOR(10000.0 * (n_chars_m - n_tokens + 1) / n_tokens) ELSE 0 END AS BIGINT) AS avg_token_len_bp
+FROM t"""
+
+
+def oracle_lang_id() -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({toks}, x -> lower(x) IN {_ORACLE_STOP})) AS BIGINT) AS stop_hits
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens > 0 THEN FLOOR(10000.0 * stop_hits / n_tokens) ELSE 0 END AS density_bp
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN density_bp >= 500 THEN 'en'
+       WHEN density_bp > 0 THEN 'en-ish'
+       ELSE 'unknown' END AS lang_guess,
+  CAST(density_bp AS BIGINT) AS stop_density_bp
+FROM d"""
+
+
+def oracle_fingerprint() -> str:
+    return """SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents"""

@@ -1,0 +1,445 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a PySpark implementation with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables (driver registers views
+``region nation customer supplier part orders lineitem events
+documents embeddings``). The driver compares row count + schema +
+order-insensitive value hash at sf0.01, so:
+
+- column names are aliased identically on both sides;
+- money/ratio outputs are integers (cents / basis points) after a
+  deterministic per-row rounding, so float summation order can never
+  flip a hash;
+- event time is BIGINT epoch-microseconds (see plans/hubview.py).
+
+Spark-first scale notes are on each query; `.explain` is exercised in
+tests/test_plans.py to keep scans pruned and joins broadcast where
+intended.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.operators import dedup as D
+from spark_eventhubs_spark.operators import multimodal as M
+from spark_eventhubs_spark.operators import similarity as S
+from spark_eventhubs_spark.operators import text as T
+from spark_eventhubs_spark.plans.hubview import (
+    configure_session,
+    load_hub_flat,
+    oracle_hub_cte,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: Dict[str, QueryFn] = {}
+_ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> Dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> Dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Connector-semantics queries (SURVEY §2.1) over the hub view
+# =====================================================================
+
+@register(
+    "hub_projection_cast",
+    oracle_hub_cte()
+    + """
+SELECT body_str AS body, partition, sequenceNumber, enq_us
+FROM hub WHERE sequenceNumber < 50""",
+)
+def hub_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 + §2.2 projection/cast: body cast to string over a slice.
+    Scale: projection folds into the scan (column pruning)."""
+    return (
+        load_hub_flat(spark, sf_dir)
+        .where(F.col("sequenceNumber") < 50)
+        .select(
+            F.col("body_str").alias("body"), "partition", "sequenceNumber", "enq_us"
+        )
+    )
+
+
+@register(
+    "hub_offset_discovery",
+    oracle_hub_cte()
+    + """
+SELECT partition,
+  MIN(sequenceNumber) AS earliest,
+  MAX(sequenceNumber) + 1 AS latest,
+  COUNT(*) AS n_events
+FROM hub GROUP BY partition""",
+)
+def hub_offset_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S18 offset discovery: one map-side-combined aggregation
+    replaces the reference's per-partition service probes."""
+    return (
+        load_hub_flat(spark, sf_dir)
+        .groupBy("partition")
+        .agg(
+            F.min("sequenceNumber").alias("earliest"),
+            (F.max("sequenceNumber") + 1).alias("latest"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "hub_bounded_scan",
+    oracle_hub_cte()
+    + """
+SELECT body_str, partition, sequenceNumber
+FROM hub WHERE sequenceNumber >= 100 AND sequenceNumber < 200""",
+)
+def hub_bounded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 bounded relation scan: [100, 200) on every partition."""
+    return (
+        load_hub_flat(spark, sf_dir)
+        .where((F.col("sequenceNumber") >= 100) & (F.col("sequenceNumber") < 200))
+        .select("body_str", "partition", "sequenceNumber")
+    )
+
+
+_T_MID_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z, mid-range of events.ts
+
+@register(
+    "hub_time_translate",
+    oracle_hub_cte()
+    + f"""
+SELECT partition, MIN(sequenceNumber) AS seq_at_time
+FROM hub WHERE enq_us >= {_T_MID_US}
+GROUP BY partition""",
+)
+def hub_time_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 position translation: enqueuedTime -> per-partition seqNo
+    (min seq with enq >= t), the EventHubsClient.scala:306-338 rule."""
+    return (
+        load_hub_flat(spark, sf_dir)
+        .where(F.col("enq_us") >= _T_MID_US)
+        .groupBy("partition")
+        .agg(F.min("sequenceNumber").alias("seq_at_time"))
+    )
+
+
+@register(
+    "hub_window_agg",
+    oracle_hub_cte()
+    + """
+SELECT enq_us // 3600000000 AS hour_bucket,
+  COUNT(*) AS cnt,
+  SUM(value_cents) AS sum_value_cents
+FROM hub GROUP BY 1""",
+)
+def hub_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship test query (tumbling event-time window
+    count, EventHubsSourceSuite.scala:737-778), batch analogue on
+    integer hour buckets. Scale: partial aggregation map-side; bucket
+    count is bounded by time range, no skew."""
+    return (
+        load_hub_flat(spark, sf_dir)
+        .groupBy((F.col("enq_us") / F.lit(3_600_000_000)).cast("long").alias("hour_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+
+
+@register(
+    "hub_take",
+    oracle_hub_cte()
+    + """
+SELECT body_str, partition, sequenceNumber
+FROM hub ORDER BY partition, sequenceNumber LIMIT 25""",
+)
+def hub_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 take: first events in (partition, seqNo) order. Spark plans
+    TakeOrderedAndProject — partition-incremental, no full sort."""
+    return (
+        load_hub_flat(spark, sf_dir)
+        .select("body_str", "partition", "sequenceNumber")
+        .orderBy("partition", "sequenceNumber")
+        .limit(25)
+    )
+
+
+@register(
+    "hub_properties_agg",
+    oracle_hub_cte()
+    + """
+SELECT event_type, COUNT(*) AS cnt, SUM(value_cents) AS sum_value_cents
+FROM hub GROUP BY event_type""",
+)
+def hub_properties_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 properties-map surface: group on an application property.
+    (The 9-col view stores event_type in the properties map; the flat
+    view has it pre-extracted — same rows either way.)"""
+    return (
+        load_hub_flat(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value_cents").alias("sum_value_cents"))
+    )
+
+
+@register(
+    "hub_enrich_join",
+    oracle_hub_cte()
+    + """
+SELECT c.c_mktsegment AS mktsegment,
+  COUNT(*) AS cnt,
+  SUM(h.value_cents) AS sum_value_cents
+FROM hub h JOIN customer c ON CAST(h.user_id_str AS BIGINT) = c.c_custkey
+GROUP BY 1""",
+)
+def hub_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table enrichment: hub events joined to a dimension.
+    Scale: customer is the small side -> broadcast hash join, no
+    shuffle of the event stream."""
+    hub = load_hub_flat(spark, sf_dir)
+    cust = _table(spark, sf_dir, "customer")
+    return (
+        hub.join(
+            F.broadcast(cust),
+            hub["user_id_str"].cast("bigint") == cust["c_custkey"],
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("cnt"), F.sum("value_cents").alias("sum_value_cents"))
+    )
+
+
+# =====================================================================
+# Relational query surface (§2.2) — TPC-H-shaped over the side tables
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Money is rounded to integer cents per row before
+    summation so both engines hash identically. Scale: pure scan +
+    partial agg; filter pushes to parquet."""
+    li = _table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price_c"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))).alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey AS orderkey,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_c DESC, orderkey ASC
+LIMIT 10""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Scale: customer filter broadcast into the
+    orders join; lineitem shuffles once on orderkey; top-10 is
+    TakeOrderedAndProject."""
+    c = _table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+               l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")).alias("revenue_c")
+        )
+        .select("orderkey", "revenue_c", "orderdate_us")
+        .orderBy(F.col("revenue_c").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """SELECT n.n_name AS nation,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (6-way join). Scale: region/nation/supplier/
+    customer are broadcast dims; the only big shuffle is
+    lineitem⋈orders on orderkey."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _table(spark, sf_dir, "lineitem")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+            ).alias("revenue_c")
+        )
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushdown filter + global agg."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint")).alias("revenue_c"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# =====================================================================
+# LLM-pipeline operators (SURVEY §2.3 north-star additions)
+# =====================================================================
+
+@register("dedup_exact", D.oracle_exact_dedup())
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_table(spark, sf_dir, "documents"))
+
+
+@register("text_token_count", T.oracle_token_count())
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_count(_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality_score", T.oracle_quality_score())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_table(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", T.oracle_lang_id())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_table(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", T.oracle_fingerprint())
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_signatures", D.oracle_minhash_signatures())
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_lsh_pairs", D.oracle_lsh_candidate_pairs())
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", D.oracle_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_table(spark, sf_dir, "documents"))
+
+
+@register("embed_topk_cosine", S.oracle_brute_force_topk(query_vec_id=0, k=10))
+def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.brute_force_topk(_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("multimodal_metadata", M.oracle_media_metadata())
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return M.extract_media_metadata(M.as_media_column(docs))
+
+
+# LSH ANN is approximate by construction: no SQL oracle (driver records
+# the weaker rows-only check); recall is asserted in tests instead.
+@register("embed_ann_lsh", None)
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_ann_topk(_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
