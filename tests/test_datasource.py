@@ -1,0 +1,252 @@
+"""Native format("eventhubs") DataSource tests.
+
+Mirrors the reference suites over the hive-log hub:
+- relation scans: T/sql/eventhubs/EventHubsRelationSuite.scala:72-186
+- streaming source semantics: T/sql/eventhubs/EventHubsSourceSuite.scala
+- sink schema/save-mode errors + round-trips:
+  T/sql/eventhubs/EventHubsSinkSuite.scala:93-468
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.sources.datasource import (
+    hub_bounds,
+    materialize_hub,
+    register_eventhubs,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def hub_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dshub") / "events")
+    materialize_hub(spark, SF_DIR, d)
+    register_eventhubs(spark)
+    return d
+
+
+def _read(spark, hub_dir, **opts):
+    r = spark.read.format("eventhubs").option("path", hub_dir)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+# ---------------------------------------------------------------- batch read
+
+def test_full_scan_matches_hub_view(spark, hub_dir):
+    df = _read(spark, hub_dir)
+    assert df.count() == 1000
+    assert [f.name for f in df.schema.fields] == [
+        "body", "partition", "offset", "sequenceNumber", "enqueuedTime",
+        "publisher", "partitionKey", "properties", "systemProperties",
+    ]
+    # parity with the Spark-side hub view on a value sample
+    from spark_eventhubs_spark.plans.hubview import load_hub
+
+    expect = {
+        (r["partition"], r["sequenceNumber"]): bytes(r["body"])
+        for r in load_hub(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["partition"], r["sequenceNumber"]): bytes(r["body"])
+        for r in df.collect()
+    }
+    assert got == expect
+
+
+def test_bounded_scan_and_seq_contiguity(spark, hub_dir):
+    df = _read(
+        spark, hub_dir,
+        **{"eventhubs.startingPosition": '{"seqNo": 50, "isInclusive": true}',
+           "eventhubs.endingPosition": '{"seqNo": 150, "isInclusive": false}'},
+    )
+    assert df.count() == 400
+    rows = df.groupBy("partition").agg(
+        F.min("sequenceNumber").alias("lo"),
+        F.max("sequenceNumber").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in rows:
+        assert (r["lo"], r["hi"], r["n"]) == (50, 149, 100)
+
+
+def test_time_position(spark, hub_dir):
+    # pick the enqueuedTime of the global median event, then start there
+    mid = _read(spark, hub_dir).approxQuantile("sequenceNumber", [0.5], 0)[0]
+    t = (
+        _read(spark, hub_dir)
+        .where(F.col("sequenceNumber") == int(mid))
+        .select(F.max("enqueuedTime"))
+        .first()[0]
+    )
+    pos = json.dumps({"enqueuedTime": t.isoformat() + "+00:00", "isInclusive": True})
+    df = _read(spark, hub_dir, **{"eventhubs.startingPosition": pos})
+    expect = (
+        _read(spark, hub_dir).where(F.col("enqueuedTime") >= F.lit(t)).count()
+    )
+    assert df.count() == expect > 0
+
+
+def test_bounds_are_metadata_only(hub_dir):
+    b = hub_bounds(hub_dir)
+    assert set(b) == {0, 1, 2, 3}
+    assert all(lo == 0 and hi > 0 for lo, hi in b.values())
+    assert sum(hi - lo for lo, hi in b.values()) == 1000
+
+
+def test_pushdown_prunes_partitions(spark, hub_dir):
+    # partition filter prunes to one InputPartition's directory worth of rows
+    df = _read(spark, hub_dir).where(F.col("partition") == "2")
+    n2 = df.count()
+    assert 0 < n2 < 1000
+    assert n2 == hub_bounds(hub_dir)[2][1]
+
+
+# ------------------------------------------------------------- stream read
+
+def test_stream_read_rate_limited(spark, hub_dir, tmp_path):
+    # NOTE: Trigger.AvailableNow wraps a plain MicroBatchStream and
+    # drains to the captured end in ONE batch (admission control is not
+    # surfaced to python sources), so per-trigger limits need a normal
+    # processing-time trigger.
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", hub_dir)
+        .option("eventhubs.maxEventsPerTrigger", "300")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.select("partition", "sequenceNumber").distinct().count() == 1000
+    # multiple micro-batches were planned (rate limit respected)
+    offsets = os.listdir(os.path.join(ckpt, "offsets"))
+    assert len([f for f in offsets if f.isdigit()]) >= 2
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, hub_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("eventhubs")
+            .option("path", hub_dir)
+            .option("eventhubs.maxEventsPerTrigger", "400")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 1000
+    run_once()  # no new data: restart must not duplicate
+    assert spark.read.parquet(out).count() == 1000
+
+
+# ------------------------------------------------------------------- write
+
+def test_stream_write_roundtrip_partition_pinned(spark, hub_dir, tmp_path):
+    hub2 = str(tmp_path / "hub2")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(hub2)
+    src = (
+        spark.readStream.format("eventhubs").option("path", hub_dir).load()
+    )
+    q = (
+        src.select("body", "partition", "properties")
+        .writeStream.format("eventhubs")
+        .option("path", hub2)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = _read(spark, hub2)
+    assert back.count() == 1000
+    # partition-pinned routing preserved the source spread
+    src_counts = {
+        r["partition"]: r["count"]
+        for r in _read(spark, hub_dir).groupBy("partition").count().collect()
+    }
+    got_counts = {
+        r["partition"]: r["count"]
+        for r in back.groupBy("partition").count().collect()
+    }
+    assert got_counts == src_counts
+    # dense per-partition seqNos from 0
+    lo_hi = back.groupBy("partition").agg(
+        F.min("sequenceNumber").alias("lo"),
+        (F.max("sequenceNumber") + 1).alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in lo_hi:
+        assert r["lo"] == 0 and r["hi"] == r["n"]
+
+
+def test_batch_write_roundrobin_and_key_routing(spark, tmp_path):
+    hub3 = str(tmp_path / "hub3")
+    os.makedirs(hub3)
+    tiny = spark.createDataFrame([(str(i),) for i in range(8)], "body string")
+    tiny.write.format("eventhubs").mode("append").option("path", hub3).save()
+    back = _read(spark, hub3)
+    assert back.count() == 8
+    # round-robin: every partition got 2 of the 8
+    counts = [r["count"] for r in back.groupBy("partition").count().collect()]
+    assert sorted(counts) == [2, 2, 2, 2]
+
+    keyed = spark.createDataFrame(
+        [("x", "k1"), ("y", "k1"), ("z", "k2")], "body string, partitionKey string"
+    )
+    keyed.write.format("eventhubs").mode("append").option("path", hub3).save()
+    back = _read(spark, hub3)
+    k1 = back.where(F.col("partitionKey") == "k1").select("partition").distinct()
+    assert k1.count() == 1  # same key -> same partition
+
+
+def test_write_rejects_overwrite_and_bad_schema(spark, tmp_path):
+    hub4 = str(tmp_path / "hub4")
+    os.makedirs(hub4)
+    tiny = spark.createDataFrame([("a",)], "body string")
+    with pytest.raises(Exception, match="Append"):
+        tiny.write.format("eventhubs").mode("overwrite").option("path", hub4).save()
+    nobody = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(Exception, match="body"):
+        nobody.write.format("eventhubs").mode("append").option("path", hub4).save()
+    badbody = spark.createDataFrame([(1,)], "body int")
+    with pytest.raises(Exception, match="body"):
+        badbody.write.format("eventhubs").mode("append").option("path", hub4).save()
+
+
+def test_write_rejects_partition_and_key_both_set(spark, tmp_path):
+    hub5 = str(tmp_path / "hub5")
+    os.makedirs(hub5)
+    both = spark.createDataFrame(
+        [("a", "1", "k")], "body string, partition string, partitionKey string"
+    )
+    with pytest.raises(Exception, match="[Mm]utually exclusive"):
+        both.write.format("eventhubs").mode("append").option("path", hub5).save()
