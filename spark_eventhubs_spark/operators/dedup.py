@@ -234,6 +234,68 @@ def jaccard_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_bp: int = 7000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Verified near-duplicates: LSH candidates filtered by exact
+    shingle-set Jaccard >= threshold (basis points).
+
+    This is the standard two-stage near-dup pipeline at scale: the
+    quadratic work collapses to the LSH equi-join, and the exact
+    verification touches only candidate pairs.
+    """
+    cands = lsh_candidate_pairs(df, text_col, num_hashes, band_size, shingle_k)
+    return jaccard_pairs(df, cands, text_col, shingle_k).where(
+        F.col("jaccard_bp") >= threshold_bp
+    ).select("doc_a", "doc_b", "jaccard_bp")
+
+
+def oracle_near_dup_pairs(
+    threshold_bp: int = 7000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> str:
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        concat = " || ',' || ".join(
+            f"CAST(mh_{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_idx, "
+                         f"{oracle_md5_hash64(f'({concat})')} AS band_hash FROM sig")
+    bands_union = "\nUNION ALL\n".join(band_rows)
+    mins = ",\n    ".join(
+        f"MIN({oracle_md5_hash64('shingle', seed=i)}) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"""{oracle_shingles_cte(shingle_k)}, sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh
+  GROUP BY doc_id
+), bands AS (
+{bands_union}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(FLOOR(10000.0 * len(list_intersect(sa.shingles, sb.shingles))
+       / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) AS BIGINT) AS jaccard_bp
+FROM cand c
+JOIN sh_arr sa ON sa.doc_id = c.doc_a
+JOIN sh_arr sb ON sb.doc_id = c.doc_b
+WHERE FLOOR(10000.0 * len(list_intersect(sa.shingles, sb.shingles))
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) >= {threshold_bp}"""
+
+
 # ---- SimHash ----
 
 def simhash(

@@ -47,6 +47,17 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def oracle_cosine(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB SQL for cosine similarity that bit-matches the Spark-side
+    :func:`cosine_col`: ``list_cosine_similarity`` accumulates in
+    float32, while Spark's aggregate fold is sequential float64 — so
+    the oracle spells out the same left-to-right double arithmetic."""
+    def dot(x, y):
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec_id: int = 0,
@@ -77,11 +88,12 @@ def brute_force_topk(
 
 
 def oracle_brute_force_topk(query_vec_id: int = 0, k: int = 10) -> str:
+    cos = oracle_cosine("embedding", "qvec")
     return f"""WITH q AS (
   SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}
 )
 SELECT vec_id,
-  CAST(FLOOR(list_cosine_similarity(embedding, qvec) * 1000000) AS BIGINT) AS score_e6
+  CAST(FLOOR({cos} * 1000000) AS BIGINT) AS score_e6
 FROM embeddings, q
 WHERE vec_id <> {query_vec_id}
 ORDER BY score_e6 DESC, vec_id ASC
@@ -147,6 +159,125 @@ def lsh_ann_topk(
         .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def oracle_pairwise_above_threshold(
+    threshold_e6: int = 950_000, n_planes: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`pairwise_above_threshold`: the hyperplane
+    weights are re-derived in SQL from the same md5 primitive, so the
+    bucket assignment — and therefore the exact candidate set — matches
+    the Spark plan."""
+    return f"""WITH w AS (
+  SELECT p, i,
+    CAST(('0x' || SUBSTRING(MD5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 2001 - 1000 AS wt
+  FROM range({n_planes}) t1(p), range({dim}) t2(i)
+), proj AS (
+  SELECT e.vec_id, w.p, SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS dot
+  FROM embeddings e, w
+  GROUP BY 1, 2
+), bkt AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(FLOOR({oracle_cosine("ea.embedding", "eb.embedding", dim)} * 1000000) AS BIGINT) AS score_e6
+FROM bkt a
+JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE FLOOR({oracle_cosine("ea.embedding", "eb.embedding", dim)} * 1000000) >= {threshold_e6}"""
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of
+    ``n_cells`` centroids, then search only the query's ``n_probe``
+    closest cells.
+
+    Centroid seeding is training-free and deterministic (the first
+    ``n_cells`` vectors by id) so the whole pipeline — assignment,
+    probing, scoring — is oracle-checkable; swap the seeding for a
+    sampled k-means job at scale (assignment plan is unchanged).
+
+    Scale: centroids broadcast everywhere (tiny); assignment is one
+    scan + row_number over N*C scored rows with C constant; at 100 TB
+    the cell id is materialized at ingest and used as a partition
+    column so a query reads n_probe/n_cells of the data.
+    """
+    from pyspark.sql import Window
+
+    cent = df.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored_assign = df.join(F.broadcast(cent)).select(
+        F.col(id_col), F.col(vec_col), F.col("cid"),
+        cosine_col(F.col(vec_col), F.col("cvec")).alias("csim"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    cells = (
+        scored_assign.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    q = df.where(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("qvec"))
+    qcells = (
+        cent.join(F.broadcast(q))
+        .select("cid", cosine_col(F.col("cvec"), F.col("qvec")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    return (
+        cells.join(F.broadcast(qcells), "cid")
+        .where(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.floor(cosine_col(F.col(vec_col), F.col("qvec")) * 1e6)
+            .cast("long").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def oracle_ivf_ann_topk(
+    query_vec_id: int = 0, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    return f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_cells}
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {oracle_cosine("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+  FROM embeddings e, cent c
+), cells AS (
+  SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1
+), qcells AS (
+  SELECT c.cid
+  FROM cent c, (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) q
+  ORDER BY {oracle_cosine("c.cvec", "q.embedding")} DESC, c.cid ASC
+  LIMIT {n_probe}
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT x.vec_id,
+  CAST(FLOOR({oracle_cosine("x.embedding", "qvec")} * 1000000) AS BIGINT) AS score_e6
+FROM cells x JOIN qcells p ON x.cid = p.cid, q
+WHERE x.vec_id <> {query_vec_id}
+ORDER BY score_e6 DESC, vec_id ASC
+LIMIT {k}"""
 
 
 def pairwise_above_threshold(

@@ -383,6 +383,284 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+@register(
+    "hub_sessionization",
+    oracle_hub_cte()
+    + f"""
+, ordered AS (
+  SELECT user_id_str, enq_us,
+    CASE WHEN enq_us - LAG(enq_us) OVER w > {_SESSION_GAP_US}
+         OR LAG(enq_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM hub
+  WINDOW w AS (PARTITION BY user_id_str ORDER BY enq_us, partition, sequenceNumber)
+), sess AS (
+  SELECT user_id_str, enq_us,
+    SUM(new_sess) OVER (PARTITION BY user_id_str
+      ORDER BY enq_us, user_id_str ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id_str, session_idx,
+  COUNT(*) AS n_events,
+  MIN(enq_us) AS start_us,
+  MAX(enq_us) - MIN(enq_us) AS duration_us
+FROM sess GROUP BY 1, 2""",
+)
+def hub_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream at >30 min gaps
+    (lag + running-sum window). The streaming twin is
+    ``F.session_window(enqueuedTime, "30 minutes")``; this batch form
+    is hash-checkable. Scale: one shuffle on user_id; windows are
+    per-user sequential scans, no skew beyond the hottest user."""
+    from pyspark.sql import Window
+
+    hub = load_hub_flat(spark, sf_dir)
+    w = Window.partitionBy("user_id_str").orderBy("enq_us", "partition", "sequenceNumber")
+    ordered = hub.select(
+        "user_id_str", "enq_us",
+        F.when(
+            (F.col("enq_us") - F.lag("enq_us").over(w) > _SESSION_GAP_US)
+            | F.lag("enq_us").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    w2 = (
+        Window.partitionBy("user_id_str")
+        .orderBy("enq_us", "user_id_str")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ordered.select(
+        "user_id_str", "enq_us", F.sum("new_sess").over(w2).alias("session_idx")
+    )
+    return sess.groupBy("user_id_str", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("enq_us").alias("start_us"),
+        (F.max("enq_us") - F.min("enq_us")).alias("duration_us"),
+    )
+
+
+# approx_count_distinct is sketch-based: Spark's HLL++ and DuckDB's
+# approx_count_distinct give different estimates, so no value oracle —
+# the relative-error contract is asserted in tests instead.
+@register("hub_approx_users", None)
+def hub_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_hub_flat(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id_str", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "q4_late_shipping_priority",
+    """SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1""",
+)
+def q4_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join. Scale: the semi join
+    shuffles on orderkey but carries only (orderkey, orderdate,
+    priority) — the probe side never expands rows."""
+    o = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """SELECT c.c_custkey AS custkey, c.c_name AS name,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  c.c_mktsegment AS mktsegment
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1, 2, 4
+ORDER BY revenue_c DESC, custkey ASC
+LIMIT 20""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. Scale: customer
+    broadcast; lineitem filtered on returnflag before the join."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = _table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+            ).alias("revenue_c")
+        )
+        .select("custkey", "name", "revenue_c", "mktsegment")
+        .orderBy(F.col("revenue_c").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """SELECT CAST(FLOOR(10000.0 *
+    SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+        ELSE 0 END)
+    / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))) AS BIGINT) AS promo_bp
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in basis points. Ratio of
+    two integer-cent sums so the division happens once, on exact
+    integers. Scale: part is broadcast; single scan of lineitem."""
+    l = _table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).cast("bigint").alias("promo_bp")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 15000
+)
+SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+  CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+  CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+  big.qty_c
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_c DESC, orderkey ASC
+LIMIT 50""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an aggregation feeding a join.
+    Scale: the aggregate shrinks lineitem to |orders| rows before any
+    join; customer/orders joins then broadcast the small side."""
+    l = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c"))
+        .where(F.col("qty_c") > 15000)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("totalprice_c"),
+            F.col("qty_c"),
+        )
+        .orderBy(F.col("totalprice_c").desc(), F.col("orderkey").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "w1_top_orders_per_segment",
+    """SELECT mktsegment, orderkey, totalprice_c, rnk FROM (
+  SELECT c.c_mktsegment AS mktsegment, o.o_orderkey AS orderkey,
+    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+      ORDER BY ROUND(o.o_totalprice * 100) DESC, o.o_orderkey ASC) AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rnk <= 3""",
+)
+def w1_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders by price per market segment.
+    Scale: one shuffle on mktsegment for the window; customer join is
+    broadcast. (With many groups, a groupBy + max_by-array rewrite
+    avoids the big sort; at 5 segments the window is fine.)"""
+    from pyspark.sql import Window
+
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("o_totalprice") * 100).desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("totalprice_c"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "a1_inactive_customers",
+    """SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY 1""",
+)
+def a1_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join: customers with no recent orders.
+    Scale: anti join shuffles on custkey only; orders side is
+    pre-filtered and pre-projected to the key column."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
 # =====================================================================
 # LLM-pipeline operators (SURVEY §2.3 north-star additions)
 # =====================================================================
@@ -443,3 +721,23 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embed_ann_lsh", None)
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("dedup_ngram_jaccard", D.oracle_near_dup_pairs())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_dup_pairs(_table(spark, sf_dir, "documents"))
+
+
+# threshold 0.25: the synthetic embeddings have no true near-dups (max
+# pairwise cosine ~0.51), so a production-like 0.95 cut would make the
+# check vacuous; 0.25 exercises bucketing + scoring + filter on real rows
+@register("embed_neardup_pairs", S.oracle_pairwise_above_threshold(threshold_e6=250_000))
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.pairwise_above_threshold(
+        _table(spark, sf_dir, "embeddings"), threshold_e6=250_000
+    )
+
+
+@register("embed_ivf_ann", S.oracle_ivf_ann_topk(query_vec_id=0, k=10))
+def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_ann_topk(_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)

@@ -1,0 +1,59 @@
+"""Contracts for the operators that are approximate by construction
+(no SQL oracle): ANN recall vs the brute-force baseline, and the
+relative-error bound of approx_count_distinct."""
+
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.operators import similarity as S
+from spark_eventhubs_spark.plans.hubview import load_hub_flat
+
+from conftest import SF_DIR
+
+
+def _embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    emb = _embeddings(spark)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()}
+    approx = {r["vec_id"] for r in S.ivf_ann_topk(emb, 0, 10).collect()}
+    # n_probe=4 of 16 cells: expect most of the true top-10 recovered
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5
+
+
+def test_lsh_ann_returns_subset_of_bucket_scored(spark):
+    emb = _embeddings(spark)
+    got = S.lsh_ann_topk(emb, 0, 10).collect()
+    # every returned score must equal the brute-force score for that id
+    exact = {
+        r["vec_id"]: r["score_e6"]
+        for r in S.brute_force_topk(emb, 0, k=emb.count()).collect()
+    }
+    for r in got:
+        assert exact[r["vec_id"]] == r["score_e6"]
+
+
+def test_pairwise_neardup_symmetric_ids(spark):
+    emb = _embeddings(spark)
+    pairs = S.pairwise_above_threshold(emb, threshold_e6=250_000).collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in pairs)
+
+
+def test_approx_count_distinct_error(spark):
+    hub = load_hub_flat(spark, SF_DIR)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in hub.groupBy("event_type")
+        .agg(F.countDistinct("user_id_str").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in hub.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id_str", 0.01).alias("approx_users"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.05 * n)
