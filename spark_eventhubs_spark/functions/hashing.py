@@ -36,3 +36,43 @@ def oracle_md5_hash64(expr: str, seed: int = 0) -> str:
 
 # convenience constant documenting the pattern for raw SQL authors
 ORACLE_MD5_HASH64 = "CAST(('0x' || SUBSTRING(MD5({expr}), 1, 15)) AS BIGINT)"
+
+
+def md5_hash64_py(s: str, seed: int = 0) -> int:
+    """Driver-side twin of :func:`md5_hash64` (hashlib md5 is the same
+    md5): used to precompute literal constants (e.g. LSH plane weights)
+    so plans carry folded literals instead of per-row md5 calls."""
+    import hashlib
+
+    base = f"s{seed}|{s}" if seed else s
+    return int(hashlib.md5(base.encode()).hexdigest()[:15], 16)
+
+
+# Universal-hash family for minhash: one md5 per value, then cheap
+# affine transforms h_i = (a_i * (h mod P) + b_i) mod P. P is prime and
+# < 2^30 so a_i * h fits a signed 64-bit integer in BOTH engines
+# (DuckDB errors on bigint overflow; Spark wraps silently — staying
+# under 2^62 keeps them identical).
+MINHASH_PRIME = 1_073_741_789
+
+
+def minhash_params(i: int) -> tuple:
+    """Deterministic (a, b) for hash i, derived from the shared md5
+    primitive so any engine can re-derive them."""
+    a = md5_hash64_py(f"mh-a:{i}") % (MINHASH_PRIME - 1) + 1
+    b = md5_hash64_py(f"mh-b:{i}") % MINHASH_PRIME
+    return a, b
+
+
+def universal_hash(col: Column, i: int) -> Column:
+    """h_i(x) = (a_i * (md5_60(x) mod P) + b_i) mod P — JVM-side, one
+    md5 total regardless of how many hash functions are evaluated."""
+    a, b = minhash_params(i)
+    base = F.pmod(md5_hash64(col), F.lit(MINHASH_PRIME))
+    return F.pmod(base * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
+
+
+def oracle_universal_hash(expr: str, i: int) -> str:
+    a, b = minhash_params(i)
+    base = f"({oracle_md5_hash64(expr)} % {MINHASH_PRIME})"
+    return f"(({base} * {a} + {b}) % {MINHASH_PRIME})"

@@ -108,15 +108,16 @@ def hyperplane_bucket(
     Plane weights are pseudo-random in [-1000, 1000], derived from the
     shared md5 hash of (plane, dim-index) — reproducible in SQL, no
     stored model. Bit p of the bucket = sign of <vec, w_p>.
+
+    The weights are computed on the DRIVER (hashlib md5 == engine md5)
+    and shipped as array literals: the earlier column-expression form
+    re-ran md5 per row (rows x planes x dim md5 calls) because Catalyst
+    does not constant-fold through the higher-order-function boundary.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-        # deterministic weight for (p, i): ((md5_hash64(f"{p}:{i}") % 2001) - 1000)
         weights = F.array(
-            *[
-                ((md5_hash64(F.lit(f"{p}:{i}")) % 2001) - 1000).cast("double")
-                for i in range(dim)
-            ]
+            *[F.lit(float(_plane_weight(p, i))) for i in range(dim)]
         )
         proj = F.aggregate(
             F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
@@ -125,6 +126,14 @@ def hyperplane_bucket(
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("long")
+
+
+def _plane_weight(p: int, i: int) -> int:
+    """Weight of hyperplane p at dimension i: ((md5_60("p:i") % 2001)
+    - 1000), identical to the SQL oracle's derivation."""
+    from spark_eventhubs_spark.functions.hashing import md5_hash64_py
+
+    return (md5_hash64_py(f"{p}:{i}") % 2001) - 1000
 
 
 def lsh_ann_topk(
