@@ -564,70 +564,84 @@ class EventHubsWriterBase:
 
     # -- driver side: assign seqNos and append to the log --
     def _commit_staged(self, messages, commit_tag: str) -> None:
-        bounds = hub_bounds(self.hub_dir, self.partition_count)
-        next_seq = {pid: hi for pid, (_, hi) in bounds.items()}
-        total = sum(hi - lo for lo, hi in bounds.values())
-        rr = total  # round-robin cursor (ref SimulatedEventHubs.scala:86-101)
-        now_us = int(time.time() * 1_000_000)
-        buckets: Dict[int, Dict[str, list]] = {}
-
-        for m in sorted((m for m in messages if m is not None), key=lambda m: m.path):
-            tbl = papq.read_table(m.path)
-            for i in range(tbl.num_rows):
-                pid_s = tbl.column("partition")[i].as_py()
-                key = tbl.column("partitionKey")[i].as_py()
-                if pid_s is not None:
-                    pid = int(pid_s)
-                elif key is not None:
-                    pid = _hash_partition_key(key, self.partition_count)
-                else:
-                    pid = rr % self.partition_count
-                    rr += 1
-                seq = next_seq.setdefault(pid, 0)
-                next_seq[pid] = seq + 1
-                b = buckets.setdefault(
-                    pid,
-                    {"body": [], "offset": [], "sequenceNumber": [],
-                     "enqueuedTime": [], "publisher": [], "partitionKey": [],
-                     "properties": [], "systemProperties": []},
-                )
-                b["body"].append(tbl.column("body")[i].as_py())
-                b["offset"].append(str(seq))
-                b["sequenceNumber"].append(seq)
-                b["enqueuedTime"].append(now_us)
-                b["publisher"].append(None)
-                b["partitionKey"].append(key)
-                b["properties"].append(tbl.column("properties")[i].as_py() or [])
-                b["systemProperties"].append([])
-
-        fs = _arrow_file_schema()
-        for pid, b in buckets.items():
-            pdir = os.path.join(self.hub_dir, f"partition={pid}")
-            os.makedirs(pdir, exist_ok=True)
-            out = pa.table(
-                {
-                    "body": pa.array(b["body"], pa.binary()),
-                    "offset": pa.array(b["offset"], pa.string()),
-                    "sequenceNumber": pa.array(b["sequenceNumber"], pa.int64()),
-                    "enqueuedTime": pa.array(b["enqueuedTime"], pa.timestamp("us", tz="UTC")),
-                    "publisher": pa.array(b["publisher"], pa.string()),
-                    "partitionKey": pa.array(b["partitionKey"], pa.string()),
-                    "properties": pa.array(b["properties"], pa.map_(pa.string(), pa.string())),
-                    "systemProperties": pa.array(b["systemProperties"], pa.map_(pa.string(), pa.string())),
-                },
-                schema=fs,
-            )
-            papq.write_table(
-                out, os.path.join(pdir, f"commit-{commit_tag}.parquet")
-            )
-        for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+        paths = sorted(m.path for m in messages if m is not None)
+        commit_staged_paths(self.hub_dir, paths, commit_tag, self.partition_count)
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+def commit_staged_paths(
+    hub_dir: str, paths: List[str], commit_tag: str, partition_count: int
+) -> int:
+    """Assign dense per-partition sequence numbers to staged event files
+    and append them to the hub log — the broker role the service plays
+    on arrival. Used by the DataSource writers and the ForeachWriter
+    sink. Returns the number of events committed."""
+    bounds = hub_bounds(hub_dir, partition_count)
+    next_seq = {pid: hi for pid, (_, hi) in bounds.items()}
+    total = sum(hi - lo for lo, hi in bounds.values())
+    rr = total  # round-robin cursor (ref SimulatedEventHubs.scala:86-101)
+    now_us = int(time.time() * 1_000_000)
+    buckets: Dict[int, Dict[str, list]] = {}
+    n_events = 0
+
+    for path in paths:
+        tbl = papq.read_table(path)
+        for i in range(tbl.num_rows):
+            pid_s = tbl.column("partition")[i].as_py()
+            key = tbl.column("partitionKey")[i].as_py()
+            if pid_s is not None:
+                pid = int(pid_s)
+            elif key is not None:
+                pid = _hash_partition_key(key, partition_count)
+            else:
+                pid = rr % partition_count
+                rr += 1
+            seq = next_seq.setdefault(pid, 0)
+            next_seq[pid] = seq + 1
+            n_events += 1
+            b = buckets.setdefault(
+                pid,
+                {"body": [], "offset": [], "sequenceNumber": [],
+                 "enqueuedTime": [], "publisher": [], "partitionKey": [],
+                 "properties": [], "systemProperties": []},
+            )
+            b["body"].append(tbl.column("body")[i].as_py())
+            b["offset"].append(str(seq))
+            b["sequenceNumber"].append(seq)
+            b["enqueuedTime"].append(now_us)
+            b["publisher"].append(None)
+            b["partitionKey"].append(key)
+            b["properties"].append(tbl.column("properties")[i].as_py() or [])
+            b["systemProperties"].append([])
+
+    fs = _arrow_file_schema()
+    for pid, b in buckets.items():
+        pdir = os.path.join(hub_dir, f"partition={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        out = pa.table(
+            {
+                "body": pa.array(b["body"], pa.binary()),
+                "offset": pa.array(b["offset"], pa.string()),
+                "sequenceNumber": pa.array(b["sequenceNumber"], pa.int64()),
+                "enqueuedTime": pa.array(b["enqueuedTime"], pa.timestamp("us", tz="UTC")),
+                "publisher": pa.array(b["publisher"], pa.string()),
+                "partitionKey": pa.array(b["partitionKey"], pa.string()),
+                "properties": pa.array(b["properties"], pa.map_(pa.string(), pa.string())),
+                "systemProperties": pa.array(b["systemProperties"], pa.map_(pa.string(), pa.string())),
+            },
+            schema=fs,
+        )
+        papq.write_table(
+            out, os.path.join(pdir, f"commit-{commit_tag}.parquet")
+        )
+    for path in paths:
+        if os.path.exists(path):
+            os.remove(path)
+    return n_events
 
 
 class EventHubsBatchWriter(EventHubsWriterBase, DataSourceWriter):

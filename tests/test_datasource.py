@@ -242,6 +242,80 @@ def test_write_rejects_overwrite_and_bad_schema(spark, tmp_path):
         badbody.write.format("eventhubs").mode("append").option("path", hub4).save()
 
 
+def test_stream_watermark_window_agg(spark, hub_dir, tmp_path):
+    """The reference's flagship end-to-end query: event-time watermark +
+    tumbling window count over enqueuedTime, answered by the native
+    streaming source (ref EventHubsSourceSuite.scala:737-778, scaled to
+    the testdata's hour-granularity timestamps)."""
+    ckpt = str(tmp_path / "ckpt")
+    sdf = spark.readStream.format("eventhubs").option("path", hub_dir).load()
+    agg = (
+        sdf.withWatermark("enqueuedTime", "1 hour")
+        .groupBy(F.window("enqueuedTime", "6 hours").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["ws"]: r["cnt"] for r in spark.sql("SELECT * FROM wm_counts").collect()
+    }
+    expect = {
+        r["ws"]: r["cnt"]
+        for r in (
+            _read(spark, hub_dir)
+            .groupBy(F.window("enqueuedTime", "6 hours").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "cnt")
+            .collect()
+        )
+    }
+    assert got == expect and sum(got.values()) == 1000
+
+
+def test_foreach_writer_sink(spark, hub_dir, tmp_path):
+    from spark_eventhubs_spark.sources.foreach import (
+        EventHubsForeachWriter,
+        flush_foreach_staged,
+    )
+
+    hub6 = str(tmp_path / "hub6")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(hub6)
+    src = spark.readStream.format("eventhubs").option("path", hub_dir).load()
+    q = (
+        src.select(F.col("body").cast("string").alias("body"), "partition")
+        .writeStream.foreach(EventHubsForeachWriter(hub6))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n = flush_foreach_staged(hub6)
+    assert n == 1000
+    back = _read(spark, hub6)
+    assert back.count() == 1000
+    # partition-pinned routing preserved
+    src_counts = {
+        r["partition"]: r["count"]
+        for r in _read(spark, hub_dir).groupBy("partition").count().collect()
+    }
+    got_counts = {
+        r["partition"]: r["count"]
+        for r in back.groupBy("partition").count().collect()
+    }
+    assert got_counts == src_counts
+    # flushing again is a no-op
+    assert flush_foreach_staged(hub6) == 0
+
+
 def test_write_rejects_partition_and_key_both_set(spark, tmp_path):
     hub5 = str(tmp_path / "hub5")
     os.makedirs(hub5)
