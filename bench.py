@@ -71,6 +71,61 @@ def main() -> None:
     scan_s = time.time() - t0
     meps = round(n_events / scan_s / 1e6, 3) if scan_s > 0 else -1
 
+    # --- streaming metrics vs BASELINE.md's 0.2 ms/event worked example ---
+    # (a) end-to-end micro-batch replay at the reference's default trigger
+    #     size (partitionCount * 1000): events/sec incl. planning+execution
+    # (b) planner-only cost per trigger on the materialized hub log
+    #     (footer-stat bounds + rate limit + range planning, no data read)
+    import shutil
+    import tempfile
+
+    from spark_eventhubs_spark.conf import EventHubsConf
+    from spark_eventhubs_spark.connstr import file_hub_connection_string
+    from spark_eventhubs_spark.sources.datasource import (
+        EventHubsStreamReader,
+        materialize_hub,
+    )
+    from spark_eventhubs_spark.sources.hub import SimulatedEventHubs
+    from spark_eventhubs_spark.streaming.source import EventHubsSource, MicroBatchRunner
+
+    work = tempfile.mkdtemp(prefix="bench_hub_")
+    try:
+        hub_dir = materialize_hub(spark, sf_dir, f"{work}/hublog")
+        hub = SimulatedEventHubs(spark, name="events", hub_log_dir=hub_dir)
+        conf = EventHubsConf(file_hub_connection_string(sf_dir, "events"))
+        conf.set("eventhubs.maxEventsPerTrigger", str(4 * 1000))
+        src = EventHubsSource(spark, conf, hub)
+        runner = MicroBatchRunner(
+            src, f"{work}/ckpt", lambda df, bid: df.count()
+        )
+        t0 = time.time()
+        n_batches = runner.run()
+        stream_s = time.time() - t0
+        stream_eps = round(n_events / stream_s) if stream_s > 0 else -1
+        ms_per_event = round(1000.0 * stream_s / n_events, 4)
+        opts = {"path": hub_dir, "eventhubs.maxeventspertrigger": "4000"}
+
+        class _O(dict):
+            def get(self, k, d=None):
+                return super().get(k.lower(), d)
+
+        reader = EventHubsStreamReader(_O(opts))
+        t0 = time.time()
+        n_plans = 0
+        prev = reader.initialOffset()
+        while True:
+            end = reader.latestOffset()
+            if end == prev:
+                break
+            reader.partitions(prev, end)
+            reader.commit(end)
+            prev = end
+            n_plans += 1
+        plan_s = time.time() - t0
+        planner_ms = round(1000.0 * plan_s / max(n_plans, 1), 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "catalog_wall_clock",
@@ -81,6 +136,11 @@ def main() -> None:
         "n_queries": len(timings),
         "events_rows": n_events,
         "hub_scan_meps": meps,
+        "stream_events_per_sec": stream_eps,
+        "stream_ms_per_event": ms_per_event,
+        "stream_batches": n_batches,
+        "planner_ms_per_batch": planner_ms,
+        "planner_batches": n_plans,
     }
     if failures:
         out["failures"] = failures

@@ -42,21 +42,34 @@ class SimulatedEventHubs:
         partition_count: int = DEFAULT_PARTITION_COUNT,
         events_parquet: Optional[str] = None,
         hub_dir: Optional[str] = None,
+        hub_log_dir: Optional[str] = None,
     ) -> None:
-        if (events_parquet is None) == (hub_dir is None):
-            raise ValueError("exactly one of events_parquet / hub_dir is required")
+        if sum(x is not None for x in (events_parquet, hub_dir, hub_log_dir)) != 1:
+            raise ValueError(
+                "exactly one of events_parquet / hub_dir / hub_log_dir is required"
+            )
         self.spark = spark
         self.name = name
         self.partition_count = partition_count
         self._events_parquet = events_parquet
         self._hub_dir = hub_dir
+        self._hub_log_dir = hub_log_dir
         self._rr_next = 0  # round-robin cursor (ref SimulatedEventHubs.scala:86-101)
         if hub_dir:
             os.makedirs(hub_dir, exist_ok=True)
 
     # ---- read side ----
     def dataframe(self) -> DataFrame:
-        """The full hub as a canonical 9-column DataFrame."""
+        """The full hub as a canonical 9-column DataFrame.
+
+        hub-log mode is the steady-state path: sequence numbers are
+        physical columns in a hive ``partition=<pid>/`` layout (written
+        by ``datasource.materialize_hub`` or the write path), so range
+        scans get partition pruning + parquet predicate pushdown with no
+        window derivation. View mode derives the schema on the fly from
+        the raw events table (one-time ingest cost, see plans/hubview)."""
+        if self._hub_log_dir:
+            return self.spark.read.schema(EVENT_HUBS_SCHEMA).parquet(self._hub_log_dir)
         if self._events_parquet:
             return hub_view(
                 self.spark.read.parquet(self._events_parquet), self.partition_count
