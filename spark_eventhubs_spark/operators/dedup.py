@@ -42,6 +42,18 @@ DEFAULT_BAND_SIZE = 4
 DEFAULT_SHINGLE = 3
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's core count before CPU-heavy
+    per-row work: a small single-file input otherwise pins the whole
+    shingling/tokenizing stage to one task. The partition count is
+    explicit so AQE's coalescer (which sizes by bytes, blind to the
+    downstream CPU cost) cannot fold the tiny input back into one
+    task. Rows are tiny (doc_id + text), so the shuffle is cheap; on a
+    many-file 100 TB table this is a near-no-op rebalance."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col("doc_id"))
+
+
 # ---- exact dedup ----
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -118,7 +130,10 @@ def minhash_signatures(
     transforms of that hash (universal hashing) — with N=16 this is
     ~16x less hashing than md5-per-seed, the dominant cost at scale.
     """
-    hashed = df.select(
+    # shingling is the CPU-heavy narrow stage: spread it across the
+    # cluster first (a small-file table otherwise runs it in one task;
+    # the extra shuffle moves only (doc_id, text))
+    hashed = _spread(df).select(
         F.col("doc_id"),
         F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
     ).select(
@@ -238,7 +253,7 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs, in basis points.
     ``pairs`` must have (doc_a, doc_b). Joins are equi-joins on doc id;
     the shingle arrays ride along (no re-explode)."""
-    sets_df = df.select(
+    sets_df = _spread(df).select(
         F.col("doc_id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
     )
     return (
@@ -325,7 +340,7 @@ def simhash(
     """Per-doc SimHash over token hashes: bit b of the signature is 1
     iff the majority of tokens have bit b set in their md5 hash.
     One explode + one groupBy with ``bits`` sum-aggregates."""
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col("doc_id"),
         F.explode(tokens_col(normalize_text(F.col(text_col)))).alias("tok"),
     ).select("doc_id", md5_hash64(F.col("tok")).alias("h"))
