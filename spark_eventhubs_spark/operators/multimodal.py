@@ -108,6 +108,73 @@ def oracle_media_metadata() -> str:
 FROM documents"""
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+DEFAULT_FRAME_STRIDE = 64
+DEFAULT_FRAME_LEN = 32
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    stride: int = DEFAULT_FRAME_STRIDE,
+    frame_len: int = DEFAULT_FRAME_LEN,
+) -> DataFrame:
+    """Frame sampling plumbing: one ``frame_len``-byte "frame" every
+    ``stride`` bytes of the opaque payload — the one-to-many
+    mapInPandas shape of real video frame extraction / audio chunking
+    (a real decoder swaps the byte-slice for a codec call; the Spark
+    side — schema, Arrow batching, row explosion, no shuffle — is
+    identical). Deterministic byte math, so fully oracle-checkable.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf[media_col]):
+                b = bytes(blob)
+                n = len(b)
+                for i in range((n + stride - 1) // stride):
+                    off = i * stride
+                    chunk = b[off:off + frame_len]
+                    rows.append(
+                        (int(did), i, off, len(chunk),
+                         hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def oracle_sample_frames(
+    stride: int = DEFAULT_FRAME_STRIDE, frame_len: int = DEFAULT_FRAME_LEN
+) -> str:
+    """DuckDB twin of as_media_column >> sample_frames over documents
+    (testdata text is pure ASCII, so string slicing == byte slicing)."""
+    return f"""WITH m AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), fr AS (
+  SELECT doc_id, text, n,
+    UNNEST(range(CAST(ceil(n * 1.0 / {stride}) AS BIGINT))) AS i
+  FROM m WHERE n > 0
+)
+SELECT doc_id,
+  CAST(i AS BIGINT) AS frame_idx,
+  CAST(i * {stride} AS BIGINT) AS frame_offset,
+  CAST(least({frame_len}, n - i * {stride}) AS BIGINT) AS frame_len,
+  md5(substring(text, CAST(i * {stride} + 1 AS BIGINT), {frame_len})) AS frame_md5
+FROM fr"""
+
+
 def resize_stub(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Placeholder for a real resize: passes bytes through and records
     the requested op in a metadata column. Raises if someone expects a

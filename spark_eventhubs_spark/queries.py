@@ -716,6 +716,12 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_media_metadata(M.as_media_column(docs))
 
 
+@register("multimodal_frame_sample", M.oracle_sample_frames())
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return M.sample_frames(M.as_media_column(docs))
+
+
 # LSH ANN is approximate by construction: no SQL oracle (driver records
 # the weaker rows-only check); recall is asserted in tests instead.
 @register("embed_ann_lsh", None)
