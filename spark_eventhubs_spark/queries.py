@@ -661,6 +661,93 @@ def a1_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + double aggregation (order
+    count histogram, zero-order customers included). Scale: the outer
+    join shuffles on custkey; the second aggregate is tiny."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY 1
+) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * a.avg_qty""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average, decorrelated into
+    an aggregate + self-join (what Catalyst does to the subquery form).
+    Scale: the per-part aggregate shrinks lineitem to |parts| rows and
+    broadcasts; lineitem is scanned once more for the probe."""
+    l = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    avg_qty = l.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "a_partkey")),
+              l["l_partkey"] == F.col("a_partkey"))
+        .where(l["l_quantity"] < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("revenue_c"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q22_wealthy_inactive",
+    """SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_cust,
+  CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_c
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1""",
+)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS
+    anti-join. Scale: the scalar is one tiny aggregate broadcast as a
+    literal-like 1-row frame; the anti join shuffles custkeys only."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("t"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("total_bal_c"),
+        )
+    )
+
+
 # =====================================================================
 # LLM-pipeline operators (SURVEY §2.3 north-star additions)
 # =====================================================================
