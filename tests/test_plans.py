@@ -75,3 +75,40 @@ def test_whole_stage_codegen_covers_agg(spark):
     assert simple.count("HashAggregate") == 2
     # and the unused seqNo window derivation was pruned away entirely
     assert "Window" not in simple
+
+
+def test_q7_dims_broadcast_one_shuffle(spark):
+    # nation-pair trade: every dim broadcast; the only sort-merge-eligible
+    # join (lineitem<->orders) may shuffle, nothing else
+    plan = _explain(Q.queries()["q7_volume_shipping"](spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q9_like_filter_reaches_scan(spark):
+    plan = _explain(Q.queries()["q9_product_profit"](spark, SF_DIR))
+    # the %red% LIKE predicate is pushed into the part scan as a Contains
+    assert "StringContains(p_name,red)" in plan.replace(" ", "")
+
+
+def test_q19_common_quantity_range_pushed(spark):
+    # Catalyst extracts the common [1, 40] l_quantity bound out of the OR
+    plan = _explain(Q.queries()["q19_disjunctive_revenue"](spark, SF_DIR))
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in flat
+    assert "LessThanOrEqual(l_quantity,40.0)" in flat
+
+
+def test_q21_single_lineitem_shuffle_topology(spark):
+    # the decorrelated rewrite computes per-order stats + probe from ONE
+    # joined frame: at most 2 big joins, supplier broadcast, top-k take
+    plan = _explain(Q.queries()["q21_waiting_suppliers"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_g1_rollup_is_single_expand(spark):
+    plan = _explain(Q.queries()["g1_rollup_revenue"](spark, SF_DIR), "simple")
+    # rollup -> one Expand node, not one plan per grouping set
+    assert plan.count("Expand") == 1
+    assert "SortMergeJoin" not in plan
