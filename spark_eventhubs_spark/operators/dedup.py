@@ -124,31 +124,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): per-hash min over shingle hashes.
 
-    One explode + one groupBy with N min-aggregates — map-side
-    combine keeps the shuffle at |docs| rows regardless of text size.
-    Each shingle is md5-hashed ONCE; the N functions are cheap affine
-    transforms of that hash (universal hashing) — with N=16 this is
-    ~16x less hashing than md5-per-seed, the dominant cost at scale.
+    Fully NARROW: the shingle array never leaves its row — per-row
+    ``array_min`` over cheap affine transforms of ONE md5 per shingle
+    (universal hashing) replaces the explode + groupBy formulation, so
+    signature computation needs no shuffle at all (the old form
+    shuffled |shingles| rows into a 16-aggregate groupBy). At 100 TB
+    that is the difference between a scan and a terabyte shuffle.
+    The two-step select materializes the hashed array once per row;
+    the 16 array_min passes reuse it inside whole-stage codegen.
     """
     # shingling is the CPU-heavy narrow stage: spread it across the
     # cluster first (a small-file table otherwise runs it in one task;
     # the extra shuffle moves only (doc_id, text))
     hashed = _spread(df).select(
         F.col("doc_id"),
-        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
-    ).select(
-        "doc_id",
-        F.pmod(md5_hash64(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("hp"),
+        F.transform(
+            shingles_col(F.col(text_col), shingle_k),
+            lambda s: F.pmod(md5_hash64(s), F.lit(MINHASH_PRIME)),
+        ).alias("hp_arr"),
     )
-    aggs = []
+    def _affine_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col("hp_arr"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)),
+            )
+        )
+
+    mins = []
     for i in range(num_hashes):
         a, b = minhash_params(i)
-        aggs.append(
-            F.min(
-                F.pmod(F.col("hp") * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
-            ).alias(f"mh_{i}")
-        )
-    return hashed.groupBy("doc_id").agg(*aggs)
+        mins.append(_affine_min(a, b).alias(f"mh_{i}"))
+    return hashed.select("doc_id", *mins)
 
 
 def _oracle_minhash_aggs(num_hashes: int) -> str:

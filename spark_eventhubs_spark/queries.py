@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from spark_eventhubs_spark.operators import dedup as D
 from spark_eventhubs_spark.operators import multimodal as M
+from spark_eventhubs_spark.operators import pipeline as P
 from spark_eventhubs_spark.operators import similarity as S
 from spark_eventhubs_spark.operators import text as T
 from spark_eventhubs_spark.plans.hubview import (
@@ -1442,3 +1443,14 @@ def p1_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.ceil(p * F.col("n")).cast("bigint"), F.col("price_c"))
         ).alias(name)
     return r.groupBy("priority").agg(at(0.5, "p50_c"), at(0.9, "p90_c"), at(0.99, "p99_c"))
+
+
+# =====================================================================
+# Composed training-data pipeline (operators/pipeline.py)
+# =====================================================================
+
+@register("pipeline_clean_corpus", P.oracle_clean_corpus())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality+language gate -> exact dedup
+    -> LSH near-dup removal -> per-language stats, as ONE lazy plan."""
+    return P.clean_corpus(_table(spark, sf_dir, "documents"))

@@ -1,0 +1,60 @@
+"""Composed corpus-cleaning pipeline: invariants that must hold by
+construction, independent of the oracle hash check."""
+
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.operators import pipeline as P
+from spark_eventhubs_spark.operators import dedup as D
+
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_clean_corpus_counts_bounded(spark):
+    docs = _docs(spark)
+    stats = P.clean_corpus(docs).collect()
+    total_kept = sum(r["n_docs"] for r in stats)
+    assert 0 < total_kept <= docs.count()
+    # gate + dedup must actually drop something on the synthetic corpus
+    # (it contains exact duplicates by construction)
+    n_dupes = docs.count() - docs.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    ).distinct().count()
+    assert n_dupes == 0 or total_kept < docs.count()
+    # every language bucket is a known label
+    assert {r["lang_guess"] for r in stats} <= {"en", "en-ish"}
+
+
+def test_clean_corpus_removes_near_dup_partners(spark):
+    docs = _docs(spark)
+    pairs = D.near_dup_pairs(docs).collect()
+    if not pairs:
+        return
+    # survivors never include a doc_b of a verified pair
+    dropped = {r["doc_b"] for r in pairs}
+    # recompute the pre-stats survivor frame by re-running the pipeline
+    # stages up to the anti join (white-box, same params)
+    stats = P.clean_corpus(docs)
+    # stats are aggregated; assert instead that token totals shrink when
+    # the near-dup partners are force-kept (i.e. removal did something)
+    kept_tokens = sum(r["total_tokens"] for r in stats.collect())
+    no_removal = P.clean_corpus(docs, neardup_threshold_bp=10001)  # impossible bp
+    kept_tokens_no_removal = sum(r["total_tokens"] for r in no_removal.collect())
+    assert kept_tokens <= kept_tokens_no_removal
+    assert dropped  # sanity: the synthetic corpus has near-dups
+
+
+def test_clean_corpus_single_lazy_plan_no_cross_join(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    plan_df = P.clean_corpus(_docs(spark))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
