@@ -217,35 +217,44 @@ def ivf_ann_topk(
     probing, scoring — is oracle-checkable; swap the seeding for a
     sampled k-means job at scale (assignment plan is unchanged).
 
-    Scale: centroids are collected to the driver (C rows, tiny — the
-    IVF codebook always fits) and inlined as literal arrays, so cell
-    assignment is a NARROW per-row argmax over C codegen'd dot
-    products — no N*C expansion, no window shuffle (the previous
-    row_number formulation shuffled N*C scored rows). Probe-cell
-    selection runs as one 16-row Spark job so its float arithmetic is
-    bit-identical to the oracle's. At 100 TB the cell id is
-    materialized at ingest and used as a partition column so a query
-    reads n_probe/n_cells of the data.
+    Scale: the centroid codebook + query vector are collected in ONE
+    driver job (C+1 rows, tiny — the IVF codebook always fits) and
+    inlined as literal arrays; probe-cell ranking happens driver-side
+    with the SAME sequential double arithmetic as the engines (Python
+    floats are IEEE doubles, so the fold is bit-identical). Cell
+    assignment is then a NARROW per-row argmax over C codegen'd dot
+    products — no N*C expansion, no window shuffle, no broadcast
+    subtree: the whole query is one scan job + top-k. At 100 TB the
+    cell id is materialized at ingest and used as a partition column
+    so a query reads n_probe/n_cells of the data.
     """
+    import math
+
+    need = df.where(
+        (F.col(id_col) < n_cells) | (F.col(id_col) == query_vec_id)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")).collect()
     cent_rows = sorted(
-        df.where(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect(),
-        key=lambda r: r["cid"],
+        (r for r in need if r["cid"] < n_cells), key=lambda r: r["cid"]
     )
-    cent = df.sparkSession.createDataFrame(
-        [(r["cid"], [float(x) for x in r["cvec"]]) for r in cent_rows],
-        "cid INT, cvec ARRAY<DOUBLE>",
+    qvec = [float(x) for r in need if r["cid"] == query_vec_id for x in r["cvec"]]
+
+    def _dot_py(a, b):
+        # sequential left-to-right fold, same op order as F.aggregate
+        # and the oracle's list_sum(list_transform(...)) — bit-identical
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    def _cos_py(a, b):
+        return _dot_py(a, b) / (math.sqrt(_dot_py(a, a)) * math.sqrt(_dot_py(b, b)))
+
+    ranked = sorted(
+        ((_cos_py([float(x) for x in r["cvec"]], qvec), r["cid"]) for r in cent_rows),
+        key=lambda t: (-t[0], t[1]),
     )
-    q = df.where(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("qvec"))
-    probe_cids = [
-        r["cid"]
-        for r in cent.join(F.broadcast(q))
-        .select("cid", cosine_col(F.col("cvec"), F.col("qvec")).alias("csim"))
-        .orderBy(F.col("csim").desc(), F.col("cid").asc())
-        .limit(n_probe)
-        .collect()
-    ]
+    probe_cids = [cid for _, cid in ranked[:n_probe]]
+
     # narrow argmax assignment: greatest over (csim, -cid) structs ==
     # ORDER BY csim DESC, cid ASC row_number()=1, with no shuffle
     cand_structs = [
@@ -256,13 +265,13 @@ def ivf_ann_topk(
         for r in cent_rows
     ]
     best = F.greatest(*cand_structs)
+    qlit = F.array(*[F.lit(x) for x in qvec])
     cells = df.select(F.col(id_col), F.col(vec_col), (-best["nc"]).alias("cid"))
     return (
         cells.where(F.col("cid").isin(probe_cids) & (F.col(id_col) != query_vec_id))
-        .join(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.floor(cosine_col(F.col(vec_col), F.col("qvec")) * 1e6)
+            F.floor(cosine_col(F.col(vec_col), qlit) * 1e6)
             .cast("long").alias("score_e6"),
         )
         .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())

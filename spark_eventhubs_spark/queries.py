@@ -1454,3 +1454,78 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning: quality+language gate -> exact dedup
     -> LSH near-dup removal -> per-language stats, as ONE lazy plan."""
     return P.clean_corpus(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "hub_pivot_event_counts",
+    oracle_hub_cte()
+    + """
+SELECT partition,
+  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM hub GROUP BY 1""",
+)
+def hub_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-partition event-type counts as columns. The pivot
+    values are given explicitly, so Spark skips the extra distinct-
+    values job and plans ONE aggregation with conditional counts —
+    same single-shuffle shape as the CASE-sum SQL. Missing cells
+    become 0 via count semantics at any sf."""
+    hub = load_hub_flat(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        hub.groupBy("partition")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combinations; the SQL's SUM(CASE)
+    # yields 0 — align them
+    return out.select(
+        "partition", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "text_top_ngrams",
+    D.oracle_shingles_cte()
+    + """
+SELECT shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY 1
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT 20""",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: the 20 most common 3-word shingles by
+    document frequency (shingles are per-doc distinct, so this is a
+    doc-frequency inverted-index head). Scale: explode -> map-side
+    combined count -> TakeOrdered top-k; the shuffle carries only
+    (shingle, partial count)."""
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(D.shingles_col(F.col("text"))).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_length_histogram",
+    """SELECT CAST(FLOOR(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) / 10) AS BIGINT) AS bucket,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in buckets of 10 — the standard corpus
+    length profile. Pure narrow projection + tiny aggregation."""
+    docs = _table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens_col(F.col("text")))
+    return (
+        docs.select(F.floor(n_tok / 10).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
