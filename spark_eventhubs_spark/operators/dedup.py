@@ -193,6 +193,13 @@ def lsh_candidate_pairs(
     concatenated band slice. The pair join is an equi-join on
     (band_idx, band_hash) — bucket sizes stay small so the shuffle is
     skew-safe; no O(n^2) stage exists anywhere.
+
+    The banded frame (|docs| x n_bands rows of three fixed-width
+    columns — tiny next to the corpus) is materialized once via
+    localCheckpoint before the self-join: otherwise BOTH join sides
+    re-run the whole shingle+minhash scan, doubling the dominant CPU
+    cost (a forced merge join would reuse the exchange but measured
+    slower — the bucket join is best broadcast).
     """
     assert num_hashes % band_size == 0
     sig = minhash_signatures(df, text_col, num_hashes, shingle_k)
@@ -208,7 +215,7 @@ def lsh_candidate_pairs(
         )
     banded = sig.select(F.col("doc_id"), F.explode(F.array(*bands)).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
-    )
+    ).localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -259,8 +266,16 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, in basis points.
     ``pairs`` must have (doc_a, doc_b). Joins are equi-joins on doc id;
-    the shingle arrays ride along (no re-explode)."""
-    sets_df = _spread(df).select(
+    the shingle arrays ride along (no re-explode).
+
+    Shingle sets are computed ONLY for docs that appear in a candidate
+    pair (semi-join pruning): verification cost scales with the
+    candidate set, not the corpus — at 100 TB the difference between
+    re-shingling everything twice and re-shingling a few permille."""
+    ids = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+    ).distinct()
+    sets_df = _spread(df.join(ids, "doc_id", "left_semi")).select(
         F.col("doc_id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
     )
     return (
@@ -293,7 +308,12 @@ def near_dup_pairs(
     quadratic work collapses to the LSH equi-join, and the exact
     verification touches only candidate pairs.
     """
-    cands = lsh_candidate_pairs(df, text_col, num_hashes, band_size, shingle_k)
+    # the candidate set is tiny (pairs sharing a band); materialize it
+    # so the verification stage and its semi-join pruning both reuse it
+    # instead of re-running the band self-join
+    cands = lsh_candidate_pairs(
+        df, text_col, num_hashes, band_size, shingle_k
+    ).localCheckpoint(eager=True)
     return jaccard_pairs(df, cands, text_col, shingle_k).where(
         F.col("jaccard_bp") >= threshold_bp
     ).select("doc_a", "doc_b", "jaccard_bp")
