@@ -1,0 +1,49 @@
+"""SQL surface: plain spark.sql over the registered views must give
+the same results as the DataFrame catalog."""
+
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark import queries as Q
+from spark_eventhubs_spark.sql import register_catalog
+
+from conftest import SF_DIR
+
+
+def test_sql_over_hub_matches_dataframe_window_agg(spark):
+    register_catalog(spark, SF_DIR)
+    sql_rows = spark.sql(
+        """SELECT window(enqueuedTime, '1 hour').start AS window_start,
+                  COUNT(*) AS cnt
+           FROM hub GROUP BY 1 ORDER BY 1"""
+    ).collect()
+    df_rows = (
+        Q.queries()["hub_window_agg"](spark, SF_DIR)
+        .orderBy("hour_bucket")
+        .collect()
+    )
+    assert len(sql_rows) == len(df_rows) > 0
+    assert [r["cnt"] for r in sql_rows] == [r["cnt"] for r in df_rows]
+
+
+def test_sql_join_hub_to_dimension(spark):
+    register_catalog(spark, SF_DIR)
+    rows = spark.sql(
+        """SELECT h.properties['event_type'] AS et, COUNT(*) AS n
+           FROM hub h WHERE h.sequenceNumber < 100 GROUP BY 1"""
+    ).collect()
+    assert sum(r["n"] for r in rows) > 0
+
+
+def test_sql_views_prune_and_push(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    register_catalog(spark, SF_DIR)
+    df = spark.sql("SELECT l_quantity FROM lineitem WHERE l_quantity < 5")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "l_quantity" in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in rs
