@@ -1529,3 +1529,90 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "embed_knn_join",
+    f"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.qid, e.vec_id,
+    CAST(FLOOR({S.oracle_cosine('e.embedding', 'q.qvec')} * 1000000) AS BIGINT) AS score_e6
+  FROM embeddings e, q
+  WHERE e.vec_id >= 8
+), ranked AS (
+  SELECT qid, vec_id, score_e6,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_e6 DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, score_e6 FROM ranked WHERE rn <= 5""",
+)
+def embed_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-5 neighbors for EVERY query in a query set (the
+    batch retrieval shape — one query vector is a special case). The
+    query set broadcasts (it is always the small side); scoring is a
+    narrow pass over the corpus; ranking windows on qid. Scale: with
+    few hot qids the window shuffle skews — the upgrade path is
+    per-partition partial top-k (groupBy(qid, partition) sort_array
+    slice) then a final merge, same results; at 8 queries x sf0.1 the
+    plain window is faster."""
+    from pyspark.sql import Window
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.where(F.col("vec_id") >= 8)
+        .join(F.broadcast(q))
+        .select(
+            "qid", "vec_id",
+            F.floor(S.cosine_col(F.col("embedding"), F.col("qvec")) * 1e6)
+            .cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_e6").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id", "score_e6")
+    )
+
+
+@register(
+    "hub_interval_join",
+    oracle_hub_cte()
+    + """
+SELECT a.user_id_str, COUNT(*) AS n_error_before_purchase
+FROM hub a JOIN hub b
+  ON a.user_id_str = b.user_id_str
+ AND b.enq_us >= a.enq_us - 600000000
+ AND b.enq_us < a.enq_us
+WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+GROUP BY 1""",
+)
+def hub_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join — the batch analogue of a Structured
+    Streaming stream-stream join with an event-time range condition
+    (errors within the 10 minutes before each purchase, per user).
+    Scale: the join is an EQUI-join on user_id with the time band as a
+    post-join filter, so it shuffles each side once on the key — never
+    a cross join; the streaming twin bounds state with watermarks on
+    both sides."""
+    hub = load_hub_flat(spark, sf_dir)
+    a = hub.where(F.col("event_type") == "purchase").select(
+        F.col("user_id_str"), F.col("enq_us").alias("a_us")
+    )
+    b = hub.where(F.col("event_type") == "error").select(
+        F.col("user_id_str").alias("b_user"), F.col("enq_us").alias("b_us")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id_str") == F.col("b_user"))
+            & (F.col("b_us") >= F.col("a_us") - 600_000_000)
+            & (F.col("b_us") < F.col("a_us")),
+        )
+        .groupBy("user_id_str")
+        .agg(F.count("*").alias("n_error_before_purchase"))
+    )
