@@ -1616,3 +1616,55 @@ def hub_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id_str")
         .agg(F.count("*").alias("n_error_before_purchase"))
     )
+
+
+@register(
+    "hub_asof_join",
+    oracle_hub_cte()
+    + """
+, tagged AS (
+  SELECT user_id_str, enq_us, sequenceNumber,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+  FROM hub WHERE event_type IN ('purchase', 'click')
+), carried AS (
+  SELECT user_id_str, enq_us, sequenceNumber, side,
+    MAX(CASE WHEN side = 0 THEN enq_us END) OVER (
+      PARTITION BY user_id_str
+      ORDER BY enq_us, side, sequenceNumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+  FROM tagged
+)
+SELECT user_id_str, enq_us AS purchase_us, last_click_us
+FROM carried WHERE side = 1""",
+)
+def hub_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (north-star custom operator — Spark has no native
+    ASOF): for every purchase, the most recent click at-or-before it,
+    per user. Implemented the scale-correct way: UNION both sides,
+    ONE window shuffle on the key with a carry-forward MAX over the
+    strictly-preceding frame — never the naive range join, whose
+    candidate set explodes with history length. Ordering
+    (enq_us, side, sequenceNumber) is a unique total order per user
+    (a user maps to one hub partition, so seqNos are unique), making
+    the <=-semantics deterministic in both engines. Scale: cost is one
+    shuffle of (key, time, tag) rows; the streaming twin is
+    applyInPandasWithState carrying last-click state per user."""
+    from pyspark.sql import Window
+
+    hub = load_hub_flat(spark, sf_dir)
+    tagged = hub.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id_str", "enq_us", "sequenceNumber",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id_str")
+        .orderBy("enq_us", "side", "sequenceNumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = tagged.select(
+        "user_id_str", "enq_us", "side",
+        F.max(F.when(F.col("side") == 0, F.col("enq_us"))).over(w).alias("last_click_us"),
+    )
+    return carried.where(F.col("side") == 1).select(
+        "user_id_str", F.col("enq_us").alias("purchase_us"), "last_click_us"
+    )
