@@ -1503,7 +1503,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-frequency inverted-index head). Scale: explode -> map-side
     combined count -> TakeOrdered top-k; the shuffle carries only
     (shingle, partial count)."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = D._spread(_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(D.shingles_col(F.col("text"))).alias("shingle"))
         .groupBy("shingle")
