@@ -1668,3 +1668,32 @@ def hub_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.where(F.col("side") == 1).select(
         "user_id_str", F.col("enq_us").alias("purchase_us"), "last_click_us"
     )
+
+
+@register(
+    "hub_salted_user_counts",
+    oracle_hub_cte()
+    + """
+SELECT user_id_str, COUNT(*) AS n_events,
+  CAST(SUM(value_cents) AS BIGINT) AS total_value_c
+FROM hub GROUP BY 1""",
+)
+def hub_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts via two-phase SALTED aggregation (skew
+    mitigation, functions/skew.py): each user key is sharded over 16
+    sub-groups in phase 1 and merged in phase 2 — identical results to
+    the direct groupBy (this oracle), but a hot user spreads across 16
+    reducers instead of pinning one. The salt derives from
+    sequenceNumber (deterministic, replay-safe), not rand()."""
+    from spark_eventhubs_spark.functions.skew import salted_agg
+
+    hub = load_hub_flat(spark, sf_dir)
+    return salted_agg(
+        hub,
+        keys=["user_id_str"],
+        aggs=[
+            ("count", F.lit(1), "n_events"),
+            ("sum", F.col("value_cents"), "total_value_c"),
+        ],
+        salt_col=F.col("sequenceNumber"),
+    )
