@@ -163,3 +163,75 @@ def oracle_fingerprint() -> str:
     return """SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents"""
+
+
+# ---- winnowing (rolling-hash) fingerprints ----
+
+WINNOW_K = 3   # tokens per gram
+WINNOW_W = 4   # grams per window
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every ORDERED k-token gram, slide a w-gram window, keep each
+    window's minimum hash, emit the distinct selected hashes. The
+    guarantee: any shared run of >= k+w-1 tokens between two docs
+    shares at least one fingerprint — the standard plagiarism /
+    overlap detector.
+
+    Fully narrow per-row array math (one md5 per gram, window minima
+    via slice+array_min) — no explode until the final distinct-
+    fingerprint emission, no shuffle before the output. Scale: cost is
+    linear in token count; fingerprint density is ~2/(w+1).
+    """
+    from spark_eventhubs_spark.functions.hashing import MINHASH_PRIME, md5_hash64
+
+    toks = tokens_col(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    grams = F.when(n > 0, grams).otherwise(F.array(F.array_join(toks, " ")))
+    hashed = df.select(
+        F.col("doc_id"),
+        F.transform(grams, lambda g: F.pmod(md5_hash64(g), F.lit(MINHASH_PRIME))).alias("gh"),
+    )
+    m = F.size(F.col("gh"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
+    )
+    return (
+        hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
+def oracle_winnowing_fingerprints(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    from spark_eventhubs_spark.functions.hashing import MINHASH_PRIME, oracle_md5_hash64
+
+    toks = ("list_filter(regexp_split_to_array("
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')")
+    gram_hash = oracle_md5_hash64("g")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) > 0 THEN
+      list_transform(range(1, greatest(len(tk) - {k - 1}, 1) + 1),
+                     i -> array_to_string(tk[i:i+{k - 1}], ' '))
+    ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM t
+), hashed AS (
+  SELECT doc_id,
+    list_transform(gs, g -> ({gram_hash} % {MINHASH_PRIME})) AS gh
+  FROM grams
+), wins AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(gh) - {w - 1}, 1) + 1),
+                  j -> list_aggregate(gh[j:j+{w - 1}], 'min'))) AS fps
+  FROM hashed
+)
+SELECT doc_id, unnest(fps) AS fp FROM wins"""

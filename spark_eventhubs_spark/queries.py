@@ -1697,3 +1697,10 @@ def hub_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         salt_col=F.col("sequenceNumber"),
     )
+
+
+@register("text_winnow_fingerprints", T.oracle_winnowing_fingerprints())
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (operators/text.py): any
+    shared >= k+w-1 token run between docs shares a fingerprint."""
+    return T.winnowing_fingerprints(D._spread(_table(spark, sf_dir, "documents")))

@@ -58,3 +58,23 @@ def test_clean_corpus_single_lazy_plan_no_cross_join(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Docs sharing a run of >= k+w-1 tokens must share a fingerprint."""
+    from spark_eventhubs_spark.operators.text import (
+        WINNOW_K, WINNOW_W, winnowing_fingerprints)
+
+    shared = " ".join(f"tok{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    df = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma"),
+         (2, f"{shared} delta epsilon zeta"),
+         (3, "totally different words only here")],
+        "doc_id LONG, text STRING",
+    )
+    fps = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]          # shared run -> shared fp
+    assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint fps
