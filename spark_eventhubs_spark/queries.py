@@ -1704,3 +1704,33 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (operators/text.py): any
     shared >= k+w-1 token run between docs shares a fingerprint."""
     return T.winnowing_fingerprints(D._spread(_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_winnow_overlap",
+    f"""WITH fps AS ({T.oracle_winnowing_fingerprints()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3""",
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap pairs from winnowing fingerprints (the
+    plagiarism-detector join): docs sharing >= 3 selected fingerprints.
+    Scale: equi-join on the fingerprint hash — the fingerprint frame is
+    materialized once (localCheckpoint) so the self-join does not
+    re-run the winnowing scan; ubiquitous fingerprints (boilerplate
+    phrases) are the skew risk — production caps posting-list length
+    before the join (drop fps with > L docs, they carry no dedup
+    signal)."""
+    fps = T.winnowing_fingerprints(
+        D._spread(_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=True)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 3)
+    )
