@@ -1,0 +1,119 @@
+"""Property-based hardening (hypothesis) of the pure-Python planner
+kernels — the pieces with reference-pinned rounding/edge semantics that
+golden cases alone can miss. No Spark session needed; runs in ms."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_eventhubs_spark.connstr import ConnectionStringBuilder
+from spark_eventhubs_spark.offsets import EventHubsSourceOffset
+from spark_eventhubs_spark.position import EventPosition
+from spark_eventhubs_spark.streaming.ratelimit import rate_limit
+
+# --- rate_limit invariants (ref EventHubsSource.scala:263-319) ---
+
+partitions = st.dictionaries(
+    st.integers(0, 31),
+    st.tuples(st.integers(0, 10_000), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=32,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(parts=partitions, limit=st.integers(1, 1_000_000))
+def test_rate_limit_bounds(parts, limit):
+    from_seq = {pid: min(a, b) for pid, (a, b) in parts.items()}
+    until_seq = {pid: max(a, b) for pid, (a, b) in parts.items()}
+    out = rate_limit(limit, from_seq, until_seq, {})
+    total_backlog = sum(until_seq[p] - from_seq[p] for p in parts)
+    for pid in parts:
+        # never before begin, never past end
+        assert from_seq[pid] <= out[pid] <= until_seq[pid]
+        # a non-empty partition is never starved (ceil guarantee)
+        if until_seq[pid] > from_seq[pid] and total_backlog >= 1:
+            assert out[pid] > from_seq[pid]
+    # admission respects the cap (+1 per partition ceil slack)
+    taken = sum(out[p] - from_seq[p] for p in parts)
+    if total_backlog >= 1:
+        assert taken <= limit + len(parts)
+
+
+@settings(max_examples=100, deadline=None)
+@given(parts=partitions)
+def test_rate_limit_huge_cap_takes_everything(parts):
+    from_seq = {pid: min(a, b) for pid, (a, b) in parts.items()}
+    until_seq = {pid: max(a, b) for pid, (a, b) in parts.items()}
+    out = rate_limit(10**12, from_seq, until_seq, {})
+    assert out == until_seq
+
+
+@settings(max_examples=100, deadline=None)
+@given(parts=partitions, limit=st.integers(1, 100))
+def test_rate_limit_zero_factor_freezes_partition(parts, limit):
+    from_seq = {pid: min(a, b) for pid, (a, b) in parts.items()}
+    until_seq = {pid: max(a, b) for pid, (a, b) in parts.items()}
+    factors = {pid: 0.0 for pid in parts}
+    out = rate_limit(limit, from_seq, until_seq, {}, factors)
+    for pid in parts:
+        # factor 0 -> prorate 0 -> ceil(0)=0: stays at begin
+        assert out[pid] == min(from_seq[pid], until_seq[pid]) or out[pid] == from_seq[pid]
+
+
+# --- offset JSON codec (ref JsonUtils.scala:63-100) ---
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(st.characters(codec="ascii", exclude_characters='"\\{}:,'), min_size=1, max_size=10),
+        st.dictionaries(st.integers(0, 255), st.integers(0, 2**62), min_size=1, max_size=8),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_offset_json_roundtrip(mapping):
+    from spark_eventhubs_spark.offsets import NameAndPartition
+
+    flat = {
+        NameAndPartition(name, pid): seq
+        for name, parts in mapping.items()
+        for pid, seq in parts.items()
+    }
+    off = EventHubsSourceOffset(flat)
+    assert EventHubsSourceOffset.from_json(off.json()).partition_to_seq_nos == flat
+    # the v1 metadata-log framing round-trips too
+    assert (
+        EventHubsSourceOffset.deserialize_metadata(off.serialize_metadata())
+        .partition_to_seq_nos
+        == flat
+    )
+
+
+# --- EventPosition JSON (ref EventPosition.scala) ---
+
+@settings(max_examples=200, deadline=None)
+@given(seq=st.integers(0, 2**62), inclusive=st.booleans())
+def test_position_seqno_roundtrip(seq, inclusive):
+    p = EventPosition.from_sequence_number(seq, inclusive)
+    assert EventPosition.from_json(p.to_json()) == p
+
+
+# --- connection string build/parse (ref ConnectionStringBuilder.scala) ---
+
+@settings(max_examples=200, deadline=None)
+@given(
+    # printable ascii minus separators: parse() trims like the
+    # reference's String.trim, so whitespace/control chars are out
+    name=st.text(
+        st.characters(codec="ascii", min_codepoint=33, exclude_characters=";="),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_connstr_roundtrip_entity_path(name):
+    base = ConnectionStringBuilder.parse(
+        "Endpoint=sb://test.servicebus.windows.net/;SharedAccessKeyName=k;"
+        "SharedAccessKey=secret;EntityPath=placeholder"
+    )
+    s = base.set_event_hub_name(name).build()
+    assert ConnectionStringBuilder.parse(s).entity_path == name
