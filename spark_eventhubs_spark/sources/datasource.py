@@ -745,3 +745,57 @@ def materialize_hub(spark, sf_dir_or_events: str, hub_dir: str,
         .parquet(hub_dir)
     )
     return hub_dir
+
+
+def compact_hub_log(spark, hub_dir: str, partition_count: int = 4) -> dict:
+    """Compact the hub log: fold each partition's accumulated
+    ``commit-*.parquet`` files (one per streaming micro-batch commit —
+    the classic small-files problem of any streaming sink) back into
+    one sorted file per partition.
+
+    Rewrites via a staging dir then swaps, preserving the metadata
+    side-dirs (``_commits`` batchId ledger, ``_cursors`` consumer
+    cursors) and the two invariants planning depends on: per-partition
+    seqNo density and footer-stat min/max (files stay sorted by
+    sequenceNumber). Readers planned BEFORE the swap may fail and must
+    replan — same contract as any file-compaction job; at scale this
+    runs partition-aligned with no shuffle wider than the repartition.
+    Returns {partition_id: n_files_before}.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_eventhubs_spark.plans.hubview import configure_session
+
+    configure_session(spark)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    before = {}
+    for name in os.listdir(hub_dir):
+        if name.startswith("partition="):
+            pid = int(name.split("=", 1)[1])
+            before[pid] = len([
+                f for f in os.listdir(os.path.join(hub_dir, name))
+                if f.endswith(".parquet")
+            ])
+    tmp = hub_dir.rstrip("/") + ".compact-tmp"
+    old = hub_dir.rstrip("/") + ".pre-compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(hub_dir)
+        .repartition(partition_count, F.col("partition"))
+        .sortWithinPartitions("partition", "sequenceNumber")
+        .write.mode("overwrite")
+        .partitionBy("partition")
+        .parquet(tmp)
+    )
+    # carry metadata side-dirs over before the swap
+    for meta in ("_commits", "_cursors"):
+        src = os.path.join(hub_dir, meta)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, meta), dirs_exist_ok=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(hub_dir, old)
+    os.rename(tmp, hub_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return before

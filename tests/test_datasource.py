@@ -324,3 +324,63 @@ def test_write_rejects_partition_and_key_both_set(spark, tmp_path):
     )
     with pytest.raises(Exception, match="[Mm]utually exclusive"):
         both.write.format("eventhubs").mode("append").option("path", hub5).save()
+
+
+def test_compact_hub_log_preserves_data_and_metadata(spark, tmp_path):
+    """Compaction folds per-commit files into one per partition while
+    keeping rows, seqNo density, cursors, and the batchId ledger."""
+    import os
+
+    from spark_eventhubs_spark.sources.datasource import (
+        compact_hub_log,
+        materialize_hub,
+        register_eventhubs,
+    )
+
+    register_eventhubs(spark)
+    hub = materialize_hub(spark, SF_DIR, str(tmp_path / "hub"))
+    # simulate streaming commits: write a few extra commit files
+    df = spark.createDataFrame(
+        [(f"m{i}".encode(), str(i % 4)) for i in range(20)],
+        "body BINARY, partition STRING",
+    )
+    for i in range(3):
+        (
+            df.write.format("eventhubs").mode("append")
+            .option("path", hub).save()
+        )
+    os.makedirs(os.path.join(hub, "_cursors"), exist_ok=True)
+    with open(os.path.join(hub, "_cursors", "grp.json"), "w") as fh:
+        fh.write('{"0": 5}')
+
+    pre = spark.read.parquet(hub)
+    pre_count = pre.count()
+    pre_max = {
+        r["partition"]: r["m"]
+        for r in pre.groupBy("partition").agg(
+            F.max("sequenceNumber").alias("m")).collect()
+    }
+
+    n_before = compact_hub_log(spark, hub)
+    assert any(v > 1 for v in n_before.values())  # there WAS fragmentation
+
+    post = spark.read.parquet(hub)
+    assert post.count() == pre_count
+    post_max = {
+        r["partition"]: r["m"]
+        for r in post.groupBy("partition").agg(
+            F.max("sequenceNumber").alias("m")).collect()
+    }
+    assert post_max == pre_max
+    # one data file per partition after compaction
+    for name in os.listdir(hub):
+        if name.startswith("partition="):
+            files = [f for f in os.listdir(os.path.join(hub, name))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1
+    # metadata survived
+    assert os.path.exists(os.path.join(hub, "_cursors", "grp.json"))
+    # seqNos stay dense per partition
+    for pid_s, m in post_max.items():
+        n = post.where(F.col("partition") == pid_s).count()
+        assert m == n - 1
