@@ -799,3 +799,73 @@ def compact_hub_log(spark, hub_dir: str, partition_count: int = 4) -> dict:
     os.rename(tmp, hub_dir)
     shutil.rmtree(old, ignore_errors=True)
     return before
+
+
+def truncate_hub_log(
+    spark, hub_dir: str, keep_from: Dict[int, int], partition_count: int = 4
+) -> Dict[int, int]:
+    """Retention: drop events below ``keep_from[pid]`` per partition —
+    the file-backed analogue of the service's retention period expiring
+    old events. After truncation ``hub_bounds`` reports the new
+    earliest from footer stats, and the data-loss guard (S5,
+    ``_adjust_starting_offset``) clamps any older checkpoint/start
+    position forward with a warning, exactly as the reference does when
+    a consumer falls behind retention.
+
+    Refuses to empty a partition completely (the seqNo high-water mark
+    lives in the data files; an empty partition would forget it —
+    the reference keeps earliest = last+1 for empty partitions, which
+    footer stats cannot represent without rows). Returns the rows
+    dropped per partition.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_eventhubs_spark.plans.hubview import configure_session
+
+    bounds = hub_bounds(hub_dir, partition_count)
+    for pid, k in keep_from.items():
+        lo, hi = bounds.get(pid, (0, 0))
+        if k >= hi:
+            raise ValueError(
+                f"truncating partition {pid} to {k} would empty it "
+                f"(latest {hi}); full truncation is unsupported"
+            )
+    configure_session(spark)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    keep_map = F.create_map(
+        *[x for pid, k in sorted(keep_from.items())
+          for x in (F.lit(str(pid)), F.lit(k))]
+    )
+    df = spark.read.parquet(hub_dir)
+    kept = df.where(
+        F.col("sequenceNumber")
+        >= F.coalesce(F.element_at(keep_map, F.col("partition").cast("string")), F.lit(0))
+    )
+    dropped_rows = {
+        int(r["partition"]): r["n"]
+        for r in df.where(
+            F.col("sequenceNumber")
+            < F.coalesce(F.element_at(keep_map, F.col("partition").cast("string")), F.lit(0))
+        ).groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    tmp = hub_dir.rstrip("/") + ".truncate-tmp"
+    old = hub_dir.rstrip("/") + ".pre-truncate"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        kept.repartition(partition_count, F.col("partition"))
+        .sortWithinPartitions("partition", "sequenceNumber")
+        .write.mode("overwrite")
+        .partitionBy("partition")
+        .parquet(tmp)
+    )
+    for meta in ("_commits", "_cursors"):
+        src = os.path.join(hub_dir, meta)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, meta), dirs_exist_ok=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(hub_dir, old)
+    os.rename(tmp, hub_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return dropped_rows

@@ -384,3 +384,37 @@ def test_compact_hub_log_preserves_data_and_metadata(spark, tmp_path):
     for pid_s, m in post_max.items():
         n = post.where(F.col("partition") == pid_s).count()
         assert m == n - 1
+
+
+def test_truncate_hub_log_retention_and_data_loss_guard(spark, tmp_path):
+    """After retention truncation, bounds move forward and a read from
+    an expired position clamps to the new earliest (S5 guard)."""
+    import os
+    import pytest as _pytest
+
+    from spark_eventhubs_spark.sources.datasource import (
+        hub_bounds,
+        materialize_hub,
+        register_eventhubs,
+        truncate_hub_log,
+    )
+
+    register_eventhubs(spark)
+    hub = materialize_hub(spark, SF_DIR, str(tmp_path / "hub_t"))
+    pre = hub_bounds(hub)
+    keep = {pid: 50 for pid in pre}
+    dropped = truncate_hub_log(spark, hub, keep)
+    assert all(n == 50 for n in dropped.values())
+
+    post = hub_bounds(hub)
+    for pid, (lo, hi) in post.items():
+        assert lo == 50 and hi == pre[pid][1]
+
+    # an expired start position (seq 0) silently clamps to earliest=50
+    df = _read(spark, hub,
+               **{"eventhubs.startingPosition": '{"seqNo": 0, "isInclusive": true}'})
+    assert df.agg(F.min("sequenceNumber")).first()[0] == 50
+
+    # emptying a partition is refused (seqNo high-water mark would be lost)
+    with _pytest.raises(ValueError, match="full truncation"):
+        truncate_hub_log(spark, hub, {0: post[0][1]})
