@@ -112,3 +112,31 @@ def test_g1_rollup_is_single_expand(spark):
     # rollup -> one Expand node, not one plan per grouping set
     assert plan.count("Expand") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    plan = _explain(Q.queries()["hub_interval_join"](spark, SF_DIR), "simple")
+    # time band must be a residual on an equi-join, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_asof_join_single_window_no_join(spark):
+    plan = _explain(Q.queries()["hub_asof_join"](spark, SF_DIR), "simple")
+    # union + carry-forward window: no join operator at all
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_salted_agg_two_phases(spark):
+    plan = _explain(Q.queries()["hub_salted_user_counts"](spark, SF_DIR), "simple")
+    # shard aggregate + merge aggregate, each with its partial pass
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_knn_join_broadcasts_query_set(spark):
+    plan = _explain(Q.queries()["embed_knn_join"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # scoring side scans embeddings once
+    assert plan.count("Scan parquet") <= 2
