@@ -1734,3 +1734,30 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= 3)
     )
+
+
+# approx_percentile is sketch-based (Greenwald-Khanna): Spark's and
+# DuckDB's sketches give different estimates, so no value oracle — the
+# error bound vs the exact p1_price_percentiles is asserted in tests.
+@register("p2_approx_percentiles", None)
+def p2_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's GK sketch — the 100 TB path
+    for what p1_price_percentiles computes exactly: one pass, mergeable
+    partial sketches, no per-group sort. accuracy=10000 bounds rank
+    error at 1/10000 of the group."""
+    o = _table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    pcts = F.percentile_approx("price_c", [0.5, 0.9, 0.99], 10000)
+    return (
+        t.groupBy("priority")
+        .agg(pcts.alias("p"))
+        .select(
+            "priority",
+            F.col("p")[0].alias("p50_c"),
+            F.col("p")[1].alias("p90_c"),
+            F.col("p")[2].alias("p99_c"),
+        )
+    )

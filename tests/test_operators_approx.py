@@ -57,3 +57,22 @@ def test_approx_count_distinct_error(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.05 * n)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    from spark_eventhubs_spark import queries as Q
+
+    exact = {
+        r["priority"]: (r["p50_c"], r["p90_c"], r["p99_c"])
+        for r in Q.queries()["p1_price_percentiles"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["priority"]: (r["p50_c"], r["p90_c"], r["p99_c"])
+        for r in Q.queries()["p2_approx_percentiles"](spark, SF_DIR).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for prio in exact:
+        for e, a in zip(exact[prio], approx[prio]):
+            # rank error 1e-4 on ~3k rows/group -> values should be
+            # within a tiny relative band of the exact percentile
+            assert abs(a - e) <= max(0.02 * e, 1)
