@@ -57,12 +57,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failed query must not hide the rest
-            failures[name] = str(e).split("\n")[0][:200]
+        # two executions, keep the fastest: first-run codegen/analysis
+        # and background load otherwise dominate sub-second queries
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as e:  # a failed query must not hide the rest
+                failures[name] = str(e).split("\n")[0][:200]
+                break
+        if best is not None:
+            timings[name] = round(best, 3)
 
     # throughput: events scanned per second on the windowed agg
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
@@ -141,6 +149,9 @@ def main() -> None:
         "stream_batches": n_batches,
         "planner_ms_per_batch": planner_ms,
         "planner_batches": n_plans,
+        # the reference's worked latency example: 0.2 ms/event
+        # (docs/slow-partition-adjustment-feature.md:35-42, BASELINE.md)
+        "baseline_ms_per_event": 0.2,
     }
     if failures:
         out["failures"] = failures
