@@ -418,3 +418,32 @@ def test_truncate_hub_log_retention_and_data_loss_guard(spark, tmp_path):
     # emptying a partition is refused (seqNo high-water mark would be lost)
     with _pytest.raises(ValueError, match="full truncation"):
         truncate_hub_log(spark, hub, {0: post[0][1]})
+
+
+def test_per_partition_starting_positions(spark, hub_dir):
+    """eventhubs.startingPositions (per-partition JSON map) overrides
+    the global position for the named partitions only — reference
+    precedence: per-partition > global > default
+    (EventHubsConf.scala:242-245)."""
+    import json
+
+    positions = json.dumps({
+        "0": {"seqNo": 50, "isInclusive": True},
+        "1": {"seqNo": 100, "isInclusive": True},
+    })
+    df = _read(
+        spark, hub_dir,
+        **{
+            "eventhubs.startingPosition": '{"seqNo": 10, "isInclusive": true}',
+            "eventhubs.startingPositions": positions,
+        },
+    )
+    mins = {
+        r["partition"]: r["m"]
+        for r in df.groupBy("partition").agg(
+            F.min("sequenceNumber").alias("m")).collect()
+    }
+    assert mins["0"] == 50      # per-partition override
+    assert mins["1"] == 100     # per-partition override
+    assert mins["2"] == 10      # global fallback
+    assert mins["3"] == 10
