@@ -152,7 +152,10 @@ class SimulatedEventHubs:
             else:
                 pid = self._rr_next % self.partition_count
                 self._rr_next += 1
-            seq = next_seq[pid]
+            # a send to a not-yet-seen partition id (dynamic partition
+            # growth, ref EventHubsSourceSuite.scala:257-329) starts
+            # its log at seqNo 0
+            seq = next_seq.setdefault(pid, 0)
             next_seq[pid] = seq + 1
             rows.append(
                 (

@@ -258,3 +258,26 @@ def test_slow_partition_adjustment_moduates_next_batch(spark, stream_hub, tmp_pa
     runner.run(max_batches=1)
     assert counts[1]["0"] == 2
     assert counts[1]["1"] == 10 and counts[1]["2"] == 10 and counts[1]["3"] == 10
+
+
+def test_dynamic_partition_growth_mid_stream(spark, stream_hub, tmp_path):
+    """A partition that appears between micro-batches is picked up from
+    its default start position (ref EventHubsSourceSuite.scala:257-329;
+    EventHubsSource.scala:183-192, 350-366)."""
+    source = EventHubsSource(spark, _conf(), stream_hub,
+                             metadata_path=str(tmp_path / "meta_grow"))
+    off1 = source.get_offset()
+    df1, _ = source.get_batch(None, off1)
+    assert df1.count() == 80  # the 4 original partitions
+
+    # partition 4 appears with 7 events
+    stream_hub.send([f"new-{i}".encode() for i in range(7)], partition_id=4)
+    off2 = source.get_offset()
+    df2, ranges = source.get_batch(off1, off2)
+    got = df2.select("partition", "sequenceNumber").collect()
+    assert {(r["partition"], r["sequenceNumber"]) for r in got} == {
+        ("4", i) for i in range(7)
+    }
+    # and the new partition's range started at the default position 0
+    new_range = [r for r in ranges if r.partition_id == 4][0]
+    assert new_range.from_seq_no == 0 and new_range.until_seq_no == 7
