@@ -76,3 +76,15 @@ def oracle_universal_hash(expr: str, i: int) -> str:
     a, b = minhash_params(i)
     base = f"({oracle_md5_hash64(expr)} % {MINHASH_PRIME})"
     return f"(({base} * {a} + {b}) % {MINHASH_PRIME})"
+
+
+def hash64(col: Column, fast: bool = False) -> Column:
+    """The shared 64-bit hash primitive with a production toggle:
+    ``fast=False`` (default) is the md5-based form every DuckDB oracle
+    can replicate; ``fast=True`` is Spark's native xxhash64 — ~2-3x
+    less CPU, same distribution quality, NOT reproducible in the
+    oracle. All dedup/LSH operators accept ``fast`` and thread it
+    here; flip it in production once results no longer need
+    cross-engine hash equality (the operators' STRUCTURE and
+    guarantees are identical either way)."""
+    return F.xxhash64(col) if fast else md5_hash64(col)

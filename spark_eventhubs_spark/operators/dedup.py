@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from spark_eventhubs_spark.functions.hashing import (
     MINHASH_PRIME,
+    hash64,
     md5_hash64,
     minhash_params,
     oracle_md5_hash64,
@@ -121,6 +122,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = DEFAULT_SHINGLE,
+    fast: bool = False,
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): per-hash min over shingle hashes.
 
@@ -140,7 +142,7 @@ def minhash_signatures(
         F.col("doc_id"),
         F.transform(
             shingles_col(F.col(text_col), shingle_k),
-            lambda s: F.pmod(md5_hash64(s), F.lit(MINHASH_PRIME)),
+            lambda s: F.pmod(hash64(s, fast), F.lit(MINHASH_PRIME)),
         ).alias("hp_arr"),
     )
     def _affine_min(a: int, b: int):
@@ -186,6 +188,7 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_k: int = DEFAULT_SHINGLE,
+    fast: bool = False,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
 
@@ -202,7 +205,7 @@ def lsh_candidate_pairs(
     slower — the bucket join is best broadcast).
     """
     assert num_hashes % band_size == 0
-    sig = minhash_signatures(df, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(df, text_col, num_hashes, shingle_k, fast)
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -210,7 +213,7 @@ def lsh_candidate_pairs(
         bands.append(
             F.struct(
                 F.lit(b).alias("band_idx"),
-                md5_hash64(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_hash"),
+                hash64(F.concat_ws(",", *[c.cast("string") for c in cols]), fast).alias("band_hash"),
             )
         )
     banded = sig.select(F.col("doc_id"), F.explode(F.array(*bands)).alias("band")).select(
@@ -300,6 +303,7 @@ def near_dup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_k: int = DEFAULT_SHINGLE,
+    fast: bool = False,
 ) -> DataFrame:
     """Verified near-duplicates: LSH candidates filtered by exact
     shingle-set Jaccard >= threshold (basis points).
@@ -312,7 +316,7 @@ def near_dup_pairs(
     # so the verification stage and its semi-join pruning both reuse it
     # instead of re-running the band self-join
     cands = lsh_candidate_pairs(
-        df, text_col, num_hashes, band_size, shingle_k
+        df, text_col, num_hashes, band_size, shingle_k, fast
     ).localCheckpoint(eager=True)
     return jaccard_pairs(df, cands, text_col, shingle_k).where(
         F.col("jaccard_bp") >= threshold_bp
@@ -362,7 +366,7 @@ WHERE FLOOR(10000.0 * len(list_intersect(sa.shingles, sb.shingles))
 # ---- SimHash ----
 
 def simhash(
-    df: DataFrame, text_col: str = "text", bits: int = 16
+    df: DataFrame, text_col: str = "text", bits: int = 16, fast: bool = False
 ) -> DataFrame:
     """Per-doc SimHash over token hashes: bit b of the signature is 1
     iff the majority of tokens have bit b set in their md5 hash.
@@ -370,7 +374,7 @@ def simhash(
     exploded = _spread(df).select(
         F.col("doc_id"),
         F.explode(tokens_col(normalize_text(F.col(text_col)))).alias("tok"),
-    ).select("doc_id", md5_hash64(F.col("tok")).alias("h"))
+    ).select("doc_id", hash64(F.col("tok"), fast).alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

