@@ -172,7 +172,8 @@ WINNOW_W = 4   # grams per window
 
 
 def winnowing_fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+    df: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W,
+    fast: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     hash every ORDERED k-token gram, slide a w-gram window, keep each
@@ -186,7 +187,7 @@ def winnowing_fingerprints(
     fingerprint emission, no shuffle before the output. Scale: cost is
     linear in token count; fingerprint density is ~2/(w+1).
     """
-    from spark_eventhubs_spark.functions.hashing import MINHASH_PRIME, md5_hash64
+    from spark_eventhubs_spark.functions.hashing import MINHASH_PRIME, hash64
 
     toks = tokens_col(normalize_text(F.col(text_col)))
     n = F.size(toks)
@@ -197,7 +198,7 @@ def winnowing_fingerprints(
     grams = F.when(n > 0, grams).otherwise(F.array(F.array_join(toks, " ")))
     hashed = df.select(
         F.col("doc_id"),
-        F.transform(grams, lambda g: F.pmod(md5_hash64(g), F.lit(MINHASH_PRIME))).alias("gh"),
+        F.transform(grams, lambda g: F.pmod(hash64(g, fast), F.lit(MINHASH_PRIME))).alias("gh"),
     )
     m = F.size(F.col("gh"))
     mins = F.transform(

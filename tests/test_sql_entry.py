@@ -47,3 +47,15 @@ def test_sql_views_prune_and_push(spark):
     assert "PushedFilters" in plan and "l_quantity" in plan
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" not in rs
+
+
+def test_build_session_confs(spark):
+    # build_session on an existing session still applies the runtime
+    # confs (builder confs are no-ops post-creation, runtime ones apply)
+    from spark_eventhubs_spark.session import build_session
+
+    s = build_session()
+    assert s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+    # and it can read the nanos-timestamped events table
+    assert s.read.parquet(f"{SF_DIR}/events.parquet").count() > 0
