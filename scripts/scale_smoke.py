@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Scale smoke: run the core operator families at 100-1000x the sf0.1
+testdata size on synthesized data, and print measured throughput.
+
+The driver's bench runs at sf0.1 (100k events / 5k docs) where fixed
+overheads dominate; this script is the evidence that the PLAN SHAPES,
+not the small inputs, carry the performance: events are synthesized
+with spark.range (no I/O bottleneck) at 20M rows, documents at 100k,
+and each family runs the same code paths as the catalog queries.
+
+Usage: python scripts/scale_smoke.py [n_events] [n_docs]
+Prints one JSON line per family: {"family", "rows", "sec", "rows_per_sec"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from pyspark.sql import functions as F
+
+    from spark_eventhubs_spark.session import build_session
+
+    spark = build_session("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def report(family: str, rows: int, sec: float) -> None:
+        print(json.dumps({
+            "family": family, "rows": rows, "sec": round(sec, 2),
+            "rows_per_sec": int(rows / sec) if sec > 0 else -1,
+        }), flush=True)
+
+    # --- synthetic hub stream: 20M events over 32 partitions ---
+    events = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 32).cast("string").alias("partition"),
+        (F.col("id") / 32).cast("long").alias("sequenceNumber"),
+        (F.lit(1_700_000_000_000_000) + F.col("id") * 50_000).alias("enq_us"),
+        (F.col("id") % 100_000).cast("string").alias("user_id_str"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000))).alias("value_cents"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("click", "view", "purchase", "signup", "error")]),
+            (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+
+    t0 = time.time()
+    n = (
+        events.groupBy((F.col("enq_us") / 3_600_000_000).cast("long"))
+        .agg(F.count("*"), F.sum("value_cents"))
+        .count()
+    )
+    report("window_agg_20M", n_events, time.time() - t0)
+
+    t0 = time.time()
+    from spark_eventhubs_spark.functions.skew import salted_agg
+    salted_agg(
+        events, ["user_id_str"],
+        [("count", F.lit(1), "n"), ("sum", F.col("value_cents"), "s")],
+        salt_col=F.col("sequenceNumber"),
+    ).count()
+    report("salted_agg_20M", n_events, time.time() - t0)
+
+    t0 = time.time()
+    a = events.where(F.col("event_type") == "purchase").select(
+        "user_id_str", F.col("enq_us").alias("a_us"))
+    b = events.where(F.col("event_type") == "error").select(
+        F.col("user_id_str").alias("b_user"), F.col("enq_us").alias("b_us"))
+    (
+        a.join(b, (F.col("user_id_str") == F.col("b_user"))
+               & (F.col("b_us") >= F.col("a_us") - 600_000_000)
+               & (F.col("b_us") < F.col("a_us")))
+        .groupBy("user_id_str").count().count()
+    )
+    report("interval_join_8M", int(n_events * 0.4), time.time() - t0)
+
+    # --- synthetic documents: 100k docs x ~40 tokens ---
+    words = F.array(*[F.lit(w) for w in (
+        "the quick brown fox jumps over lazy dog spark parquet shuffle "
+        "stream window join hash band token corpus model data scale"
+    ).split()])
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.element_at(words, (F.pmod(F.xxhash64(F.col("id") * 40 + i),
+                                        F.lit(20)) + 1).cast("int"))
+            for i in range(40)
+        ]).alias("text"),
+    )
+
+    from spark_eventhubs_spark.operators.dedup import minhash_signatures
+    t0 = time.time()
+    minhash_signatures(docs, fast=True).count()
+    report("minhash_fast_100k_docs", n_docs, time.time() - t0)
+
+    t0 = time.time()
+    minhash_signatures(docs).count()
+    report("minhash_md5_100k_docs", n_docs, time.time() - t0)
+
+    from spark_eventhubs_spark.operators.text import winnowing_fingerprints
+    t0 = time.time()
+    n_fp = winnowing_fingerprints(docs, fast=True).count()
+    report("winnowing_fast_100k_docs", n_fp, time.time() - t0)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
