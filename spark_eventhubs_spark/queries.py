@@ -1708,9 +1708,15 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_winnow_overlap",
-    f"""WITH fps AS ({T.oracle_winnowing_fingerprints()})
+    f"""WITH fps AS ({T.oracle_winnowing_fingerprints()}),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64
+),
+pruned AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
-FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 3""",
 )
@@ -1719,15 +1725,24 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plagiarism-detector join): docs sharing >= 3 selected fingerprints.
     Scale: equi-join on the fingerprint hash — the fingerprint frame is
     materialized once (localCheckpoint) so the self-join does not
-    re-run the winnowing scan; ubiquitous fingerprints (boilerplate
-    phrases) are the skew risk — production caps posting-list length
-    before the join (drop fps with > L docs, they carry no dedup
-    signal)."""
+    re-run the winnowing scan. Skew guard: fingerprints shared by > 64
+    docs (boilerplate phrases) are dropped BEFORE the self-join — a
+    ubiquitous fp contributes O(posting^2) candidate pairs and no dedup
+    signal; the cap bounds every join bucket at 64 x 64. Same filter in
+    the oracle, so results stay hash-checked."""
     fps = T.winnowing_fingerprints(
         D._spread(_table(spark, sf_dir, "documents"))
     ).localCheckpoint(eager=True)
-    a = fps.alias("a")
-    b = fps.alias("b")
+    # the HOT list (fps over the cap) is the tiny side — broadcast the
+    # anti join; broadcasting the rare set would ship nearly every fp
+    hot = (
+        fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 64)
+        .select("fp")
+    )
+    pruned = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
