@@ -51,3 +51,45 @@ def test_non_algebraic_rejected(spark):
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_agg(hub, ["user_id_str"], [("avg", F.col("value_cents"), "a")],
                    F.col("sequenceNumber"))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's other skew lever: AQE skew-join splits an oversized
+    join partition at runtime (OptimizeSkewedJoin). Pinned so a config
+    regression (AQE off, thresholds broken) is caught — salting
+    (above) covers aggregations, AQE covers joins."""
+    import io
+    from contextlib import redirect_stdout
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.lit("x" * 64).alias("pad"),
+        )
+        right = spark.range(200_000).select(F.col("id").alias("k"), F.lit("y").alias("v"))
+        j = left.join(right, "k").select(F.sum(F.length("pad")).alias("s"))
+        j.collect()  # AQE finalizes the plan at execution
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("simple")
+        plan = buf.getvalue()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
