@@ -345,3 +345,74 @@ def pairwise_above_threshold(
         )
         .where(F.col("score_e6") >= threshold_e6)
     )
+
+
+def knn_join(
+    df: DataFrame,
+    query_max_id: int = 8,
+    k: int = 5,
+    method: str = "window",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN join: top-k neighbors for every query vector (ids below
+    ``query_max_id``), excluding the query set from the corpus side.
+
+    Two physically different, result-identical strategies:
+
+    - ``window``: rank with row_number over qid — one shuffle of all
+      scored rows onto |queries| reducers. Simple, but with few hot
+      qids every scored row funnels through few tasks.
+    - ``partial``: per-input-partition top-k first (sort_array over a
+      collect_list bounded by the partition's rows), then a final
+      merge of |partitions| x k candidates per query. The shuffle
+      carries only the k-sized partials — the scale path when the
+      corpus side is large (same idea as Spark's TakeOrderedAndProject,
+      generalized per group).
+    """
+    q = df.where(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        df.where(F.col(id_col) >= query_max_id)
+        .join(F.broadcast(q))
+        .select(
+            "qid", F.col(id_col),
+            F.floor(cosine_col(F.col(vec_col), F.col("qvec")) * 1e6)
+            .cast("long").alias("score_e6"),
+        )
+    )
+    if method == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score_e6").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", id_col, "score_e6")
+        )
+    if method != "partial":
+        raise ValueError(f"unknown method {method!r}")
+    # sort key (-score, vec_id) ascending == score desc, id asc
+    cand = F.struct(
+        (-F.col("score_e6")).alias("neg"), F.col(id_col).alias("vid")
+    )
+    def topk(col):
+        return F.slice(F.sort_array(F.collect_list(col)), 1, k)
+    partial = (
+        scored.groupBy("qid", F.spark_partition_id().alias("p"))
+        .agg(topk(cand).alias("cands"))
+        .select("qid", F.explode("cands").alias("c"))
+    )
+    return (
+        partial.groupBy("qid")
+        .agg(topk(F.col("c")).alias("cands"))
+        .select("qid", F.explode("cands").alias("c"))
+        .select(
+            "qid",
+            F.col("c.vid").alias(id_col),
+            (-F.col("c.neg")).alias("score_e6"),
+        )
+    )

@@ -1552,30 +1552,12 @@ def embed_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch retrieval shape — one query vector is a special case). The
     query set broadcasts (it is always the small side); scoring is a
     narrow pass over the corpus; ranking windows on qid. Scale: with
-    few hot qids the window shuffle skews — the upgrade path is
-    per-partition partial top-k (groupBy(qid, partition) sort_array
-    slice) then a final merge, same results; at 8 queries x sf0.1 the
-    plain window is faster."""
-    from pyspark.sql import Window
-
-    emb = _table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    scored = (
-        emb.where(F.col("vec_id") >= 8)
-        .join(F.broadcast(q))
-        .select(
-            "qid", "vec_id",
-            F.floor(S.cosine_col(F.col("embedding"), F.col("qvec")) * 1e6)
-            .cast("long").alias("score_e6"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score_e6").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("qid", "vec_id", "score_e6")
+    few hot qids the window shuffle skews — similarity.knn_join's
+    method="partial" runs per-partition partial top-k then a k-sized
+    merge instead (result-identical, pinned by test); at 8 queries x
+    sf0.1 the plain window is faster, so the catalog uses it."""
+    return S.knn_join(
+        _table(spark, sf_dir, "embeddings"), query_max_id=8, k=5, method="window"
     )
 
 

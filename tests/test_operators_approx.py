@@ -76,3 +76,16 @@ def test_approx_percentiles_close_to_exact(spark):
             # rank error 1e-4 on ~3k rows/group -> values should be
             # within a tiny relative band of the exact percentile
             assert abs(a - e) <= max(0.02 * e, 1)
+
+
+def test_knn_join_partial_equals_window(spark):
+    """The scale path (per-partition partial top-k + merge) must return
+    exactly the window formulation's results."""
+    from spark_eventhubs_spark.operators.similarity import knn_join
+
+    emb = _embeddings(spark)
+    win = {(r["qid"], r["vec_id"], r["score_e6"])
+           for r in knn_join(emb, method="window").collect()}
+    par = {(r["qid"], r["vec_id"], r["score_e6"])
+           for r in knn_join(emb, method="partial").collect()}
+    assert win == par and len(win) > 0
