@@ -416,3 +416,111 @@ def knn_join(
             (-F.col("c.neg")).alias("score_e6"),
         )
     )
+
+
+def kmeans_refine_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Distributed Lloyd iterations refining the IVF codebook.
+
+    Seeds from the first ``n_cells`` vectors (deterministic, as
+    ivf_ann_topk), then per iteration: narrow argmax assignment against
+    literal centroids (no shuffle of vectors), one groupBy(cell) with
+    per-dimension avg aggregates (map-side combined — the shuffle
+    carries 16 x dim partial sums, not vectors), collect the 16 new
+    means. Exactly the Spark shape of large-scale k-means: iterations
+    are driver-coordinated jobs over broadcast codebooks. Returns
+    [(cid, [centroid floats])] sorted by cid.
+    """
+    rows = sorted(
+        df.where(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+    for _ in range(iters):
+        structs = [
+            F.struct(
+                cosine_col(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, cvec in cents
+        ]
+        assigned = df.select(
+            F.col(vec_col), (-F.greatest(*structs)["nc"]).alias("cid")
+        )
+        means = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cid = {r["cid"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        # empty cells keep their previous centroid
+        cents = [(cid, by_cid.get(cid, cvec)) for cid, cvec in cents]
+    return cents
+
+
+def ivf_ann_topk_refined(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over a k-means-refined codebook: same probe/scan shape
+    as :func:`ivf_ann_topk`, but cells come from
+    :func:`kmeans_refine_centroids` — tighter cells, better recall at
+    the same n_probe. Refined means are data-dependent floats, so no
+    SQL oracle (rows-only check); recall is asserted in tests."""
+    import math
+
+    cents = kmeans_refine_centroids(df, n_cells, iters, dim, id_col, vec_col)
+    qvec = [
+        float(x)
+        for r in df.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
+        for x in r[0]
+    ]
+
+    def _dot_py(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    def _cos_py(a, b):
+        na, nb = math.sqrt(_dot_py(a, a)), math.sqrt(_dot_py(b, b))
+        return _dot_py(a, b) / (na * nb) if na and nb else -2.0
+
+    ranked = sorted(
+        ((_cos_py(cvec, qvec), cid) for cid, cvec in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cids = [cid for _, cid in ranked[:n_probe]]
+    structs = [
+        F.struct(
+            cosine_col(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cvec in cents
+    ]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    cells = df.select(F.col(id_col), F.col(vec_col), (-F.greatest(*structs)["nc"]).alias("cid"))
+    return (
+        cells.where(F.col("cid").isin(probe_cids) & (F.col(id_col) != query_vec_id))
+        .select(
+            F.col(id_col),
+            F.floor(cosine_col(F.col(vec_col), qlit) * 1e6).cast("long").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

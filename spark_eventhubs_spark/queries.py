@@ -1758,3 +1758,14 @@ def p2_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p")[2].alias("p99_c"),
         )
     )
+
+
+# refined means are data-dependent floats — no SQL oracle (rows-only);
+# recall vs brute force asserted in tests
+@register("embed_ivf_refined", None)
+def embed_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a one-iteration k-means-refined codebook: the
+    distributed Lloyd step is a narrow argmax assignment + one
+    16-group avg aggregation per iteration (shuffle carries 16 x dim
+    partial sums, never vectors)."""
+    return S.ivf_ann_topk_refined(_table(spark, sf_dir, "embeddings"))

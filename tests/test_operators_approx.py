@@ -89,3 +89,14 @@ def test_knn_join_partial_equals_window(spark):
     par = {(r["qid"], r["vec_id"], r["score_e6"])
            for r in knn_join(emb, method="partial").collect()}
     assert win == par and len(win) > 0
+
+
+def test_ivf_refined_recall_not_worse(spark):
+    """One Lloyd iteration must not hurt recall vs the seeded codebook
+    (and usually helps): both compared against brute force."""
+    emb = _embeddings(spark)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()}
+    seeded = {r["vec_id"] for r in S.ivf_ann_topk(emb, 0, 10).collect()}
+    refined = {r["vec_id"] for r in S.ivf_ann_topk_refined(emb, 0, 10).collect()}
+    assert len(refined & exact) >= len(seeded & exact) - 2  # no collapse
+    assert len(refined) == 10
