@@ -96,7 +96,7 @@ SELECT vec_id,
   CAST(FLOOR({cos} * 1000000) AS BIGINT) AS score_e6
 FROM embeddings, q
 WHERE vec_id <> {query_vec_id}
-ORDER BY score_e6 DESC, vec_id ASC
+ORDER BY score_e6 DESC, e.vec_id ASC
 LIMIT {k}"""
 
 
@@ -303,7 +303,7 @@ SELECT x.vec_id,
   CAST(FLOOR({oracle_cosine("x.embedding", "qvec")} * 1000000) AS BIGINT) AS score_e6
 FROM cells x JOIN qcells p ON x.cid = p.cid, q
 WHERE x.vec_id <> {query_vec_id}
-ORDER BY score_e6 DESC, vec_id ASC
+ORDER BY score_e6 DESC, e.vec_id ASC
 LIMIT {k}"""
 
 
@@ -524,3 +524,35 @@ def ivf_ann_topk_refined(
         .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def oracle_lsh_ann_topk(
+    query_vec_id: int = 0, k: int = 10, n_planes: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`lsh_ann_topk`: the hyperplane bucket
+    assignment is deterministic (md5-derived weights), so even the
+    "approximate" ANN is exactly reproducible — the approximation is in
+    WHICH vectors get scored, not in any randomness."""
+    return f"""WITH w AS (
+  SELECT p, i,
+    CAST(('0x' || SUBSTRING(MD5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 2001 - 1000 AS wt
+  FROM range({n_planes}) t1(p), range({dim}) t2(i)
+), proj AS (
+  SELECT e.vec_id, w.p, SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS dot
+  FROM embeddings e, w
+  GROUP BY 1, 2
+), bkt AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1
+), q AS (
+  SELECT e.embedding AS qvec, b.bucket AS qbucket
+  FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id
+  WHERE e.vec_id = {query_vec_id}
+)
+SELECT e.vec_id,
+  CAST(FLOOR({oracle_cosine("e.embedding", "q.qvec", dim)} * 1000000) AS BIGINT) AS score_e6
+FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id, q
+WHERE b.bucket = q.qbucket AND e.vec_id <> {query_vec_id}
+ORDER BY score_e6 DESC, e.vec_id ASC
+LIMIT {k}"""

@@ -810,9 +810,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(M.as_media_column(docs))
 
 
-# LSH ANN is approximate by construction: no SQL oracle (driver records
-# the weaker rows-only check); recall is asserted in tests instead.
-@register("embed_ann_lsh", None)
+# LSH ANN's bucket assignment is deterministic (md5-derived hyperplane
+# weights), so even this "approximate" operator has an exact oracle:
+# the approximation is in WHICH vectors get scored, not in randomness.
+@register("embed_ann_lsh", S.oracle_lsh_ann_topk(query_vec_id=0, k=10))
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
