@@ -96,7 +96,7 @@ SELECT vec_id,
   CAST(FLOOR({cos} * 1000000) AS BIGINT) AS score_e6
 FROM embeddings, q
 WHERE vec_id <> {query_vec_id}
-ORDER BY score_e6 DESC, e.vec_id ASC
+ORDER BY score_e6 DESC, vec_id ASC
 LIMIT {k}"""
 
 
@@ -303,7 +303,7 @@ SELECT x.vec_id,
   CAST(FLOOR({oracle_cosine("x.embedding", "qvec")} * 1000000) AS BIGINT) AS score_e6
 FROM cells x JOIN qcells p ON x.cid = p.cid, q
 WHERE x.vec_id <> {query_vec_id}
-ORDER BY score_e6 DESC, e.vec_id ASC
+ORDER BY score_e6 DESC, x.vec_id ASC
 LIMIT {k}"""
 
 
