@@ -32,4 +32,33 @@ __all__ = [
     "NameAndPartition",
     "OffsetRange",
     "EventHubsSourceOffset",
+    # lazy (PEP 562) — resolved on first touch so `import
+    # spark_eventhubs_spark` stays light; these pull pyspark:
+    "read_eventhubs",
+    "write_eventhubs",
+    "register_eventhubs",
+    "materialize_hub",
+    "build_session",
+    "register_catalog",
+    "file_hub_connection_string",
 ]
+
+_LAZY = {
+    "read_eventhubs": ("spark_eventhubs_spark.sources.batch", "read_eventhubs"),
+    "write_eventhubs": ("spark_eventhubs_spark.sources.writer", "write_eventhubs"),
+    "register_eventhubs": ("spark_eventhubs_spark.sources.datasource", "register_eventhubs"),
+    "materialize_hub": ("spark_eventhubs_spark.sources.datasource", "materialize_hub"),
+    "build_session": ("spark_eventhubs_spark.session", "build_session"),
+    "register_catalog": ("spark_eventhubs_spark.sql", "register_catalog"),
+    "file_hub_connection_string": ("spark_eventhubs_spark.connstr", "file_hub_connection_string"),
+}
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
