@@ -13,33 +13,24 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from spark_eventhubs_spark.conf import EventHubsConf
-from spark_eventhubs_spark.connstr import file_hub_connection_string
-from spark_eventhubs_spark.plans.hubview import configure_session
+import spark_eventhubs_spark as eh
 from spark_eventhubs_spark.position import EventPosition
-from spark_eventhubs_spark.sources.batch import read_eventhubs
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = eh.build_session("batch-read-example", master="local[4]",
+                             shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    configure_session(spark)  # testdata timestamps are TIMESTAMP(NANOS)
 
     conf = (
-        EventHubsConf(file_hub_connection_string(sf_dir, "events"))
+        eh.EventHubsConf(eh.file_hub_connection_string(sf_dir, "events"))
         .set_starting_position(EventPosition.from_sequence_number(100))
         .set_ending_position(EventPosition.from_sequence_number(200))
     )
-    df = read_eventhubs(spark, conf)  # canonical 9-column schema
+    df = eh.read_eventhubs(spark, conf)  # canonical 9-column schema
     df.printSchema()
 
     # the query surface is vanilla Spark from here on
