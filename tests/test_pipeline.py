@@ -102,3 +102,22 @@ def test_fast_hash_path_same_guarantees(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}
     assert all(r["jaccard_bp"] >= 7000 or True for r in pairs)  # threshold applied upstream
     assert all({r["doc_a"], r["doc_b"]} != {1, 3} for r in pairs)
+
+
+def test_resize_stub_passthrough_and_universal_hash(spark):
+    """The documented multimodal resize stub keeps bytes intact and
+    records the op; the universal-hash public primitive matches its
+    oracle-side affine definition."""
+    from spark_eventhubs_spark.functions.hashing import (
+        MINHASH_PRIME, md5_hash64_py, minhash_params, universal_hash)
+    from spark_eventhubs_spark.operators.multimodal import as_media_column, resize_stub
+
+    docs = spark.createDataFrame([(1, "some text")], "doc_id LONG, text STRING")
+    out = resize_stub(as_media_column(docs)).collect()[0]
+    assert bytes(out["media"]) == b"some text"
+    assert out["resize_op"] == "stub:keep-original"
+
+    row = spark.range(1).select(
+        universal_hash(F.lit("abc"), 3).alias("h")).collect()[0]
+    a, b = minhash_params(3)
+    assert row["h"] == ((md5_hash64_py("abc") % MINHASH_PRIME) * a + b) % MINHASH_PRIME
