@@ -177,3 +177,13 @@ def oracle_hub_cte(partition_count: int = DEFAULT_PARTITION_COUNT) -> str:
     json_extract_string(props, '$.k')            AS prop_k
   FROM events
 )"""
+
+
+def kafka_key(system_properties: Column = None) -> Column:
+    """Kafka key of an event produced through an Event Hubs Kafka
+    endpoint: the connector surfaces it as
+    ``systemProperties['x-opt-kafka-key']`` (JSON-serialized bytes —
+    ref docs/receive-events-sent-using-kafka-protocol.md). The value of
+    a Kafka pair is simply the event ``body``."""
+    col = system_properties if system_properties is not None else F.col("systemProperties")
+    return F.element_at(col, "x-opt-kafka-key")

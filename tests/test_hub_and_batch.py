@@ -167,3 +167,23 @@ def test_receive_contract(hub):
     assert [e["sequenceNumber"] for e in evs] == list(range(5, 15))
     with pytest.raises(RuntimeError):
         hub.receive(partition_id=1, seq_no=10 ** 9, count=5)
+
+
+def test_kafka_key_extraction(spark):
+    """Events produced via a Kafka endpoint carry their key in
+    systemProperties['x-opt-kafka-key'] (ref
+    docs/receive-events-sent-using-kafka-protocol.md); the helper
+    surfaces it, NULL for non-Kafka events."""
+    from pyspark.sql import functions as F
+
+    from spark_eventhubs_spark.plans.hubview import kafka_key
+
+    df = spark.createDataFrame(
+        [(b"v1", {"x-opt-kafka-key": "42"}), (b"v2", {})],
+        "body BINARY, systemProperties MAP<STRING,STRING>",
+    )
+    rows = df.select(
+        F.col("body").cast("string").alias("value"),
+        kafka_key().alias("key"),
+    ).collect()
+    assert {(r["value"], r["key"]) for r in rows} == {("v1", "42"), ("v2", None)}
