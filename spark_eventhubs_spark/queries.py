@@ -154,7 +154,7 @@ def hub_time_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT enq_us // 3600000000 AS hour_bucket,
   COUNT(*) AS cnt,
-  SUM(value_cents) AS sum_value_cents
+  CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
 FROM hub GROUP BY 1""",
 )
 def hub_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,7 +164,7 @@ def hub_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is bounded by time range, no skew."""
     return (
         load_hub_flat(spark, sf_dir)
-        .groupBy((F.col("enq_us") / F.lit(3_600_000_000)).cast("long").alias("hour_bucket"))
+        .groupBy(F.expr("enq_us div 3600000000").alias("hour_bucket"))
         .agg(
             F.count("*").alias("cnt"),
             F.sum("value_cents").alias("sum_value_cents"),
@@ -194,7 +194,8 @@ def hub_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hub_properties_agg",
     oracle_hub_cte()
     + """
-SELECT event_type, COUNT(*) AS cnt, SUM(value_cents) AS sum_value_cents
+SELECT event_type, COUNT(*) AS cnt,
+  CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
 FROM hub GROUP BY event_type""",
 )
 def hub_properties_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +215,7 @@ def hub_properties_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT c.c_mktsegment AS mktsegment,
   COUNT(*) AS cnt,
-  SUM(h.value_cents) AS sum_value_cents
+  CAST(SUM(h.value_cents) AS BIGINT) AS sum_value_cents
 FROM hub h JOIN customer c ON CAST(h.user_id_str AS BIGINT) = c.c_custkey
 GROUP BY 1""",
 )
@@ -398,8 +399,8 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
   WINDOW w AS (PARTITION BY user_id_str ORDER BY enq_us, partition, sequenceNumber)
 ), sess AS (
   SELECT user_id_str, enq_us,
-    SUM(new_sess) OVER (PARTITION BY user_id_str
-      ORDER BY enq_us, user_id_str ROWS UNBOUNDED PRECEDING) AS session_idx
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id_str
+      ORDER BY enq_us, user_id_str ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM ordered
 )
 SELECT user_id_str, session_idx,
@@ -1067,8 +1068,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lateness",
     """SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
          THEN 1 ELSE 0 END AS late,
-  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1462,11 +1463,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_hub_cte()
     + """
 SELECT partition,
-  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM hub GROUP BY 1""",
 )
 def hub_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
