@@ -7,9 +7,18 @@ North-star operators (SURVEY §2.3):
 
 Numerics are done in double and results are reported as integer
 ``score_e6 = floor(cosine * 1e6)`` so Spark and DuckDB hash
-identically. All vector math is built-in higher-order functions
-(zip_with / aggregate) — JVM-side, no Python UDF; a Pandas-UDF variant
-would only pay off once SIMD beats codegen on very wide vectors.
+identically. Vector math takes two routes, picked by dots-per-row:
+
+- one or two dots per row (brute-force scoring, LSH bucketing,
+  pairwise verification): ``zip_with``/``aggregate`` higher-order
+  folds — JVM-side, interpreted per element but cheap at this width,
+  and bit-identical to the oracles' ``list_sum(list_transform(...))``.
+- C dots per row (IVF assignment/scoring, k-means): an Arrow-batched
+  ``mapInPandas`` numpy kernel (:func:`_seq_dot_np`) that keeps the
+  same sequential fold order via ``np.cumsum`` — ``np.sum``'s pairwise
+  summation would break bit-parity. Round-1 measured the HOF form at
+  ~5.4s for IVF at sf0.1; the kernel is ~3x faster and scale-safe
+  (zero shuffle, codebook in the task closure).
 
 Scale design: top-k against a query set is a broadcast join (query
 vectors are small) + per-partition partial top-k via groupBy agg of
@@ -25,7 +34,23 @@ from pyspark.sql import functions as F
 from spark_eventhubs_spark.functions.hashing import md5_hash64
 
 
-def _dot(a: Column, b: Column) -> Column:
+DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+def _dot(a: Column, b: Column, dim: int = DIM) -> Column:
+    """<a, b> as a zip_with/aggregate higher-order fold (sequential
+    left-to-right double adds — the order every twin of this function
+    must reproduce). ``dim`` is accepted for signature parity with the
+    numpy kernels but the fold is data-length-driven.
+
+    Tried and rejected: unrolling into dim explicit multiply-adds to
+    stay inside WholeStageCodegen. The generated method overflows
+    Janino's 64KB limit at C*dim terms (IVF), and even at 1-2x dim the
+    compile time of the giant method dominates these sub-second
+    queries — measured 0.36s -> 1.5s on brute-force top-k at sf0.1.
+    The HOF interpreter overhead only matters when a query evaluates
+    MANY dots per row (the IVF family), and those use the
+    :func:`_seq_dot_np` mapInPandas kernels instead."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -33,7 +58,7 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int = DIM) -> Column:
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -43,8 +68,19 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm_py(vals: list) -> float:
+    """Driver-side twin of :func:`_norm` — same sequential fold, and
+    Python floats are IEEE doubles, so bit-identical."""
+    import math
+
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_col(a: Column, b: Column, dim: int = DIM) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def oracle_cosine(a: str, b: str, dim: int = 64) -> str:
@@ -163,7 +199,7 @@ def lsh_ann_topk(
         .where(F.col(id_col) != query_vec_id)
         .select(
             F.col(id_col),
-            F.floor(cosine_col(F.col(vec_col), F.col("qvec")) * 1e6).cast("long").alias("score_e6"),
+            F.floor(cosine_col(F.col(vec_col), F.col("qvec"), dim) * 1e6).cast("long").alias("score_e6"),
         )
         .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
         .limit(k)
@@ -199,6 +235,87 @@ JOIN embeddings eb ON eb.vec_id = b.vec_id
 WHERE FLOOR({oracle_cosine("ea.embedding", "eb.embedding", dim)} * 1000000) >= {threshold_e6}"""
 
 
+def _seq_dot_np(X, w):
+    """Row-wise <X[i], w> with the SAME left-to-right fold order as the
+    engine/oracle sums: ``np.cumsum`` is ``np.add.accumulate`` —
+    strictly sequential — whereas ``np.sum``/``@`` use pairwise
+    summation and would drift in the last ulp. Bit-identical doubles
+    are what keep the IVF candidate set (argmax assignment) and the
+    floor(cos*1e6) scores hash-equal to the DuckDB oracle."""
+    import numpy as np
+
+    return np.cumsum(X * w[None, :], axis=1)[:, -1]
+
+
+def _ivf_scan_fn(cents, probe_cids, qvec, query_vec_id, id_col, vec_col):
+    """mapInPandas kernel: assign each vector to its nearest centroid
+    (argmax cosine, ties to the smallest cid — ``cents`` is cid-sorted
+    and np.argmax takes the first max), drop rows outside the probe
+    cells, and score survivors against the query vector. All arithmetic
+    via :func:`_seq_dot_np` so results bit-match the SQL oracle."""
+    import numpy as np
+
+    C = [np.asarray(v, dtype=np.float64) for _, v in cents]
+    cnorms = [_norm_py(v) for _, v in cents]
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    qv = np.asarray(qvec, dtype=np.float64)
+    qn = _norm_py(qvec)
+    probe = np.array(sorted(probe_cids), dtype=np.int64)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rn = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            S = np.empty((X.shape[0], len(C)), dtype=np.float64)
+            for j, c in enumerate(C):
+                S[:, j] = _seq_dot_np(X, c) / (rn * cnorms[j])
+            cell = cids[np.argmax(S, axis=1)]
+            keep = np.isin(cell, probe) & (pdf[id_col].to_numpy() != query_vec_id)
+            if not keep.any():
+                continue
+            sq = _seq_dot_np(X[keep], qv) / (rn[keep] * qn)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[keep],
+                "score_e6": np.floor(sq * 1e6).astype(np.int64),
+            })
+
+    return fn
+
+
+def _cell_assign_fn(cents, vec_col):
+    """mapInPandas kernel for k-means assignment: emit (vector, nearest
+    centroid id) per row. Same argmax/tie semantics as
+    :func:`_ivf_scan_fn`; vectors are re-emitted as float64 so the
+    downstream per-dimension avg aggregates see exact values."""
+    import numpy as np
+
+    C = [np.asarray(v, dtype=np.float64) for _, v in cents]
+    cnorms = [_norm_py(v) for _, v in cents]
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rn = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            S = np.empty((X.shape[0], len(C)), dtype=np.float64)
+            for j, c in enumerate(C):
+                S[:, j] = _seq_dot_np(X, c) / (rn * cnorms[j])
+            yield pd.DataFrame({
+                vec_col: list(X),
+                "cid": cids[np.argmax(S, axis=1)],
+            })
+
+    return fn
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_vec_id: int = 0,
@@ -218,13 +335,15 @@ def ivf_ann_topk(
     sampled k-means job at scale (assignment plan is unchanged).
 
     Scale: the centroid codebook + query vector are collected in ONE
-    driver job (C+1 rows, tiny — the IVF codebook always fits) and
-    inlined as literal arrays; probe-cell ranking happens driver-side
-    with the SAME sequential double arithmetic as the engines (Python
-    floats are IEEE doubles, so the fold is bit-identical). Cell
-    assignment is then a NARROW per-row argmax over C codegen'd dot
-    products — no N*C expansion, no window shuffle, no broadcast
-    subtree: the whole query is one scan job + top-k. At 100 TB the
+    driver job (C+1 rows, tiny — the IVF codebook always fits);
+    probe-cell ranking happens driver-side with the SAME sequential
+    double arithmetic as the engines (Python floats are IEEE doubles).
+    Cell assignment + probe filter + scoring run in ONE Arrow-batched
+    ``mapInPandas`` pass — zero shuffle, no N*C row expansion, the
+    codebook rides in the task closure (C*dim doubles). A C-wide
+    unrolled JVM expression was tried and abandoned: 16x64 terms
+    overflows Janino's 64KB method limit and de-optimizes the whole
+    stage to interpreted (round-1: 5.35 s at sf0.1). At 100 TB the
     cell id is materialized at ingest and used as a partition column
     so a query reads n_probe/n_cells of the data.
     """
@@ -239,8 +358,8 @@ def ivf_ann_topk(
     qvec = [float(x) for r in need if r["cid"] == query_vec_id for x in r["cvec"]]
 
     def _dot_py(a, b):
-        # sequential left-to-right fold, same op order as F.aggregate
-        # and the oracle's list_sum(list_transform(...)) — bit-identical
+        # sequential left-to-right fold, same op order as the oracle's
+        # list_sum(list_transform(...)) — bit-identical
         acc = 0.0
         for i in range(len(a)):
             acc = acc + a[i] * b[i]
@@ -254,29 +373,13 @@ def ivf_ann_topk(
         key=lambda t: (-t[0], t[1]),
     )
     probe_cids = [cid for _, cid in ranked[:n_probe]]
+    cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in cent_rows]
 
-    # narrow argmax assignment: greatest over (csim, -cid) structs ==
-    # ORDER BY csim DESC, cid ASC row_number()=1, with no shuffle
-    cand_structs = [
-        F.struct(
-            cosine_col(F.col(vec_col), F.array(*[F.lit(float(x)) for x in r["cvec"]])).alias("s"),
-            F.lit(-r["cid"]).alias("nc"),
-        )
-        for r in cent_rows
-    ]
-    best = F.greatest(*cand_structs)
-    qlit = F.array(*[F.lit(x) for x in qvec])
-    cells = df.select(F.col(id_col), F.col(vec_col), (-best["nc"]).alias("cid"))
-    return (
-        cells.where(F.col("cid").isin(probe_cids) & (F.col(id_col) != query_vec_id))
-        .select(
-            F.col(id_col),
-            F.floor(cosine_col(F.col(vec_col), qlit) * 1e6)
-            .cast("long").alias("score_e6"),
-        )
-        .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
-        .limit(k)
+    scored = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _ivf_scan_fn(cents, probe_cids, qvec, query_vec_id, id_col, vec_col),
+        schema=f"{id_col} long, score_e6 long",
     )
+    return scored.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(k)
 
 
 def oracle_ivf_ann_topk(
@@ -325,7 +428,7 @@ def pairwise_above_threshold(
     with_bucket = df.select(
         F.col(id_col), F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-        _norm(F.col(vec_col)).alias("nrm"),
+        _norm(F.col(vec_col), dim).alias("nrm"),
     )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
@@ -336,7 +439,7 @@ def pairwise_above_threshold(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             F.floor(
-                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
                 / (F.col("a.nrm") * F.col("b.nrm"))
                 * 1e6
             )
@@ -429,13 +532,14 @@ def kmeans_refine_centroids(
     """Distributed Lloyd iterations refining the IVF codebook.
 
     Seeds from the first ``n_cells`` vectors (deterministic, as
-    ivf_ann_topk), then per iteration: narrow argmax assignment against
-    literal centroids (no shuffle of vectors), one groupBy(cell) with
-    per-dimension avg aggregates (map-side combined — the shuffle
-    carries 16 x dim partial sums, not vectors), collect the 16 new
-    means. Exactly the Spark shape of large-scale k-means: iterations
-    are driver-coordinated jobs over broadcast codebooks. Returns
-    [(cid, [centroid floats])] sorted by cid.
+    ivf_ann_topk), then per iteration: Arrow-batched numpy argmax
+    assignment against the codebook (mapInPandas, no shuffle of
+    vectors), one groupBy(cell) with per-dimension avg aggregates
+    (map-side combined — the shuffle carries 16 x dim partial sums,
+    not vectors), collect the 16 new means. Exactly the Spark shape of
+    large-scale k-means: iterations are driver-coordinated jobs over
+    broadcast codebooks. Returns [(cid, [centroid floats])] sorted by
+    cid.
     """
     rows = sorted(
         df.where(F.col(id_col) < n_cells)
@@ -445,15 +549,9 @@ def kmeans_refine_centroids(
     )
     cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
     for _ in range(iters):
-        structs = [
-            F.struct(
-                cosine_col(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias("s"),
-                F.lit(-cid).alias("nc"),
-            )
-            for cid, cvec in cents
-        ]
-        assigned = df.select(
-            F.col(vec_col), (-F.greatest(*structs)["nc"]).alias("cid")
+        assigned = df.select(F.col(vec_col)).mapInPandas(
+            _cell_assign_fn(cents, vec_col),
+            schema=f"{vec_col} array<double>, cid long",
         )
         means = (
             assigned.groupBy("cid")
@@ -506,24 +604,11 @@ def ivf_ann_topk_refined(
         key=lambda t: (-t[0], t[1]),
     )
     probe_cids = [cid for _, cid in ranked[:n_probe]]
-    structs = [
-        F.struct(
-            cosine_col(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias("s"),
-            F.lit(-cid).alias("nc"),
-        )
-        for cid, cvec in cents
-    ]
-    qlit = F.array(*[F.lit(x) for x in qvec])
-    cells = df.select(F.col(id_col), F.col(vec_col), (-F.greatest(*structs)["nc"]).alias("cid"))
-    return (
-        cells.where(F.col("cid").isin(probe_cids) & (F.col(id_col) != query_vec_id))
-        .select(
-            F.col(id_col),
-            F.floor(cosine_col(F.col(vec_col), qlit) * 1e6).cast("long").alias("score_e6"),
-        )
-        .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
-        .limit(k)
+    scored = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _ivf_scan_fn(cents, probe_cids, qvec, query_vec_id, id_col, vec_col),
+        schema=f"{id_col} long, score_e6 long",
     )
+    return scored.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(k)
 
 
 def oracle_lsh_ann_topk(
