@@ -33,16 +33,59 @@ ENDING_POSITION_KEY = "eventhubs.endingPosition"
 ENDING_POSITIONS_KEY = "eventhubs.endingPositions"
 MAX_RATE_PER_PARTITION_KEY = "eventhubs.maxRatePerPartition"
 MAX_RATES_PER_PARTITION_KEY = "eventhubs.maxRatesPerPartition"
-MAX_EVENTS_PER_TRIGGER_KEY = "eventhubs.maxEventsPerTrigger"
 RECEIVER_TIMEOUT_KEY = "eventhubs.receiverTimeout"
+MAX_SILENT_TIME_KEY = "eventhubs.maxSilentTime"
 OPERATION_TIMEOUT_KEY = "eventhubs.operationTimeout"
 MAX_ACCEPTABLE_BATCH_RECEIVE_TIME_KEY = "eventhubs.maxAcceptableBatchReceiveTime"
 PREFETCH_COUNT_KEY = "eventhubs.prefetchCount"
 THREAD_POOL_SIZE_KEY = "eventhubs.threadPoolSize"
+USE_EXCLUSIVE_RECEIVER_KEY = "eventhubs.useExclusiveReceiver"
+# the reference's primary key is the UN-prefixed "maxEventsPerTrigger";
+# the prefixed form is its documented alias (EventHubsConf.scala:711-712)
+MAX_EVENTS_PER_TRIGGER_KEY = "maxEventsPerTrigger"
+MAX_EVENTS_PER_TRIGGER_ALIAS_KEY = "eventhubs.maxEventsPerTrigger"
 USE_SIMULATED_CLIENT_KEY = "useSimulatedClient"
+METRIC_PLUGIN_KEY = "eventhubs.metricPlugin"
+PARTITION_PREFERRED_LOCATION_STRATEGY_KEY = "partitionPreferredLocationStrategy"
 SLOW_PARTITION_ADJUSTMENT_KEY = "eventhubs.slowPartitionAdjustment"
-DYNAMIC_PARTITION_DISCOVERY_KEY = "eventhubs.dynamicPartitionDiscovery"
+THROTTLING_STATUS_PLUGIN_KEY = "eventhubs.throttlingStatusPlugin"
+USE_AAD_AUTH_KEY = "eventhubs.useAadAuth"
+AAD_AUTH_CALLBACK_KEY = "eventhubs.aadAuthCallback"
+AAD_AUTH_CALLBACK_PARAMS_KEY = "eventhubs.AadAuthCallbackParams"
+DYNAMIC_PARTITION_DISCOVERY_KEY = "eventhubs.DynamicPartitionDiscovery"
 PARTITION_COUNT_KEY = "eventhubs.partitionCount"  # ours: partition count of the simulated hub
+
+#: Every option key the reference enumerates, in its canonical casing
+#: (EventHubsConf.scala:697-722) — the round-trip compatibility test
+#: iterates this list.
+REFERENCE_OPTION_KEYS = [
+    CONNECTION_STRING_KEY,
+    CONSUMER_GROUP_KEY,
+    STARTING_POSITION_KEY,
+    STARTING_POSITIONS_KEY,
+    ENDING_POSITION_KEY,
+    ENDING_POSITIONS_KEY,
+    MAX_RATE_PER_PARTITION_KEY,
+    MAX_RATES_PER_PARTITION_KEY,
+    RECEIVER_TIMEOUT_KEY,
+    MAX_SILENT_TIME_KEY,
+    OPERATION_TIMEOUT_KEY,
+    PREFETCH_COUNT_KEY,
+    THREAD_POOL_SIZE_KEY,
+    USE_EXCLUSIVE_RECEIVER_KEY,
+    MAX_EVENTS_PER_TRIGGER_KEY,
+    MAX_EVENTS_PER_TRIGGER_ALIAS_KEY,
+    USE_SIMULATED_CLIENT_KEY,
+    METRIC_PLUGIN_KEY,
+    PARTITION_PREFERRED_LOCATION_STRATEGY_KEY,
+    SLOW_PARTITION_ADJUSTMENT_KEY,
+    THROTTLING_STATUS_PLUGIN_KEY,
+    MAX_ACCEPTABLE_BATCH_RECEIVE_TIME_KEY,
+    USE_AAD_AUTH_KEY,
+    AAD_AUTH_CALLBACK_KEY,
+    AAD_AUTH_CALLBACK_PARAMS_KEY,
+    DYNAMIC_PARTITION_DISCOVERY_KEY,
+]
 
 # Defaults — ref eventhubs/package.scala:37-59
 DEFAULT_CONSUMER_GROUP = "$Default"
@@ -54,15 +97,33 @@ DEFAULT_PREFETCH_COUNT = 500
 DEFAULT_THREAD_POOL_SIZE = 16
 DEFAULT_PARTITION_COUNT = 4  # ref utils/EventHubsTestUtils.scala:189
 
-# Driver-only keys stripped by trimmed() — ref EventHubsConf.scala:163-191
-_DRIVER_ONLY_KEYS = {
-    STARTING_POSITION_KEY.lower(),
-    STARTING_POSITIONS_KEY.lower(),
-    ENDING_POSITION_KEY.lower(),
-    ENDING_POSITIONS_KEY.lower(),
-    MAX_RATE_PER_PARTITION_KEY.lower(),
-    MAX_RATES_PER_PARTITION_KEY.lower(),
-    MAX_EVENTS_PER_TRIGGER_KEY.lower(),
+# Options shipped to executors by trimmed() — the reference uses an
+# INCLUDE list, not an exclude list (EventHubsConf.scala:163-191), so
+# unknown/driver-only keys are dropped rather than leaked. Same list
+# here, plus our partitionCount (the simulated hub's geometry, which
+# executor-side range readers need).
+_EXECUTOR_KEYS = {
+    k.lower()
+    for k in (
+        CONNECTION_STRING_KEY,
+        CONSUMER_GROUP_KEY,
+        RECEIVER_TIMEOUT_KEY,
+        MAX_SILENT_TIME_KEY,
+        OPERATION_TIMEOUT_KEY,
+        PREFETCH_COUNT_KEY,
+        THREAD_POOL_SIZE_KEY,
+        USE_EXCLUSIVE_RECEIVER_KEY,
+        USE_SIMULATED_CLIENT_KEY,
+        METRIC_PLUGIN_KEY,
+        SLOW_PARTITION_ADJUSTMENT_KEY,
+        THROTTLING_STATUS_PLUGIN_KEY,
+        MAX_ACCEPTABLE_BATCH_RECEIVE_TIME_KEY,
+        USE_AAD_AUTH_KEY,
+        AAD_AUTH_CALLBACK_KEY,
+        AAD_AUTH_CALLBACK_PARAMS_KEY,
+        DYNAMIC_PARTITION_DISCOVERY_KEY,
+        PARTITION_COUNT_KEY,
+    )
 }
 
 
@@ -113,12 +174,24 @@ class EventHubsConf(Mapping[str, str]):
         return c
 
     def trimmed(self) -> "EventHubsConf":
-        """Strip driver-only options (ref EventHubsConf.scala:163-191)."""
+        """Keep only the options executors need, dropping everything
+        else — include-list semantics per ref EventHubsConf.scala:163-191
+        (positions, rate limits and trigger caps are driver-side
+        planner state and never ship)."""
         c = EventHubsConf()
         for lk, v in self._map.items():
-            if lk not in _DRIVER_ONLY_KEYS:
+            if lk in _EXECUTOR_KEYS:
                 c._map[lk] = v
                 c._names[lk] = self._names[lk]
+        return c
+
+    @classmethod
+    def from_map(cls, m: Mapping[str, str]) -> "EventHubsConf":
+        """Rebuild a conf from a plain options dict (``to_map`` inverse;
+        what `.options(**conf.to_map())` hands a DataSource)."""
+        c = cls()
+        for k, v in m.items():
+            c.set(k, v)
         return c
 
     # ---- typed setters/getters ----
@@ -195,8 +268,12 @@ class EventHubsConf(Mapping[str, str]):
         return self.set(MAX_EVENTS_PER_TRIGGER_KEY, int(n))
 
     def max_events_per_trigger(self, partition_count: int) -> int:
-        """Default = partitionCount * 1000 (ref EventHubsSource.scala:91-96)."""
+        """Default = partitionCount * 1000 (ref EventHubsSource.scala:91-96).
+        Accepts the bare key or its ``eventhubs.``-prefixed alias
+        (EventHubsConf.scala:711-712); the bare key wins if both set."""
         v = self.get(MAX_EVENTS_PER_TRIGGER_KEY)
+        if v is None:
+            v = self.get(MAX_EVENTS_PER_TRIGGER_ALIAS_KEY)
         if v is not None:
             return int(v)
         return partition_count * DEFAULT_MAX_RATE_PER_PARTITION
@@ -241,9 +318,96 @@ class EventHubsConf(Mapping[str, str]):
     def partition_count(self) -> int:
         return int(self.get(PARTITION_COUNT_KEY, str(DEFAULT_PARTITION_COUNT)))
 
+    # ---- receiver/client tuning knobs (executor-shipped) ----
+    def set_receiver_timeout_ms(self, ms: int) -> "EventHubsConf":
+        return self.set(RECEIVER_TIMEOUT_KEY, int(ms))
+
+    @property
+    def receiver_timeout_ms(self) -> int:
+        return int(self.get(RECEIVER_TIMEOUT_KEY, str(DEFAULT_RECEIVER_TIMEOUT_MS)))
+
+    def set_max_silent_time_ms(self, ms: int) -> "EventHubsConf":
+        return self.set(MAX_SILENT_TIME_KEY, int(ms))
+
+    def set_operation_timeout_ms(self, ms: int) -> "EventHubsConf":
+        return self.set(OPERATION_TIMEOUT_KEY, int(ms))
+
+    @property
+    def operation_timeout_ms(self) -> int:
+        return int(self.get(OPERATION_TIMEOUT_KEY, str(DEFAULT_OPERATION_TIMEOUT_MS)))
+
+    def set_prefetch_count(self, n: int) -> "EventHubsConf":
+        return self.set(PREFETCH_COUNT_KEY, int(n))
+
+    @property
+    def prefetch_count(self) -> int:
+        return int(self.get(PREFETCH_COUNT_KEY, str(DEFAULT_PREFETCH_COUNT)))
+
+    def set_thread_pool_size(self, n: int) -> "EventHubsConf":
+        return self.set(THREAD_POOL_SIZE_KEY, int(n))
+
+    def set_use_exclusive_receiver(self, b: bool) -> "EventHubsConf":
+        return self.set(USE_EXCLUSIVE_RECEIVER_KEY, "true" if b else "false")
+
+    def set_metric_plugin(self, class_name: str) -> "EventHubsConf":
+        return self.set(METRIC_PLUGIN_KEY, class_name)
+
+    def set_throttling_status_plugin(self, class_name: str) -> "EventHubsConf":
+        return self.set(THROTTLING_STATUS_PLUGIN_KEY, class_name)
+
+    def set_partition_preferred_location_strategy(self, s: str) -> "EventHubsConf":
+        if s not in ("Hash", "BalancedHash"):
+            raise ValueError(
+                "partitionPreferredLocationStrategy must be 'Hash' or "
+                f"'BalancedHash' (ref eventhubs/package.scala:84-87), got {s!r}"
+            )
+        return self.set(PARTITION_PREFERRED_LOCATION_STRATEGY_KEY, s)
+
+    def set_dynamic_partition_discovery(self, b: bool) -> "EventHubsConf":
+        return self.set(DYNAMIC_PARTITION_DISCOVERY_KEY, "true" if b else "false")
+
+    @property
+    def dynamic_partition_discovery(self) -> bool:
+        return self.get(DYNAMIC_PARTITION_DISCOVERY_KEY, "false").lower() == "true"
+
+    # ---- AAD auth surface (conf-validation parity only) ----
+    # The reference authenticates via a user-supplied
+    # AadAuthenticationCallback class shipped in the conf
+    # (utils/AadAuthenticationCallback.scala:1,
+    # docs/use-aad-authentication-to-connect-eventhubs.md). A
+    # file-backed hub has no auth handshake, so only the conf surface
+    # and its validation rules are reproduced — the callback is never
+    # invoked.
+    def set_use_aad_auth(self, b: bool) -> "EventHubsConf":
+        return self.set(USE_AAD_AUTH_KEY, "true" if b else "false")
+
+    @property
+    def use_aad_auth(self) -> bool:
+        return self.get(USE_AAD_AUTH_KEY, "false").lower() == "true"
+
+    def set_aad_auth_callback(self, class_name: str) -> "EventHubsConf":
+        """Fully-qualified class/callable name; setting it implies
+        useAadAuth=true, as the reference's setAadAuthCallback does."""
+        self.set(USE_AAD_AUTH_KEY, "true")
+        return self.set(AAD_AUTH_CALLBACK_KEY, class_name)
+
+    def set_aad_auth_callback_params(self, params: Dict[str, str]) -> "EventHubsConf":
+        return self.set(
+            AAD_AUTH_CALLBACK_PARAMS_KEY, json.dumps(dict(params), sort_keys=True)
+        )
+
     def validate(self) -> None:
         if self.connection_string is None:
             raise ValueError(f"Must set {CONNECTION_STRING_KEY}")
-        if STARTING_POSITION_KEY in self and STARTING_POSITIONS_KEY in self:
-            # the reference allows both (map overrides); we keep that, so no error
-            pass
+        if self.use_aad_auth and self.get(AAD_AUTH_CALLBACK_KEY) is None:
+            raise ValueError(
+                f"{USE_AAD_AUTH_KEY}=true requires {AAD_AUTH_CALLBACK_KEY} "
+                "(ref docs/use-aad-authentication-to-connect-eventhubs.md)"
+            )
+        if AAD_AUTH_CALLBACK_PARAMS_KEY in self:
+            try:
+                json.loads(self[AAD_AUTH_CALLBACK_PARAMS_KEY])
+            except json.JSONDecodeError as e:
+                raise ValueError(
+                    f"{AAD_AUTH_CALLBACK_PARAMS_KEY} must be a JSON object: {e}"
+                ) from e

@@ -189,6 +189,7 @@ def lsh_candidate_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_k: int = DEFAULT_SHINGLE,
     fast: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
 
@@ -197,12 +198,18 @@ def lsh_candidate_pairs(
     (band_idx, band_hash) — bucket sizes stay small so the shuffle is
     skew-safe; no O(n^2) stage exists anywhere.
 
-    The banded frame (|docs| x n_bands rows of three fixed-width
-    columns — tiny next to the corpus) is materialized once via
-    localCheckpoint before the self-join: otherwise BOTH join sides
-    re-run the whole shingle+minhash scan, doubling the dominant CPU
-    cost (a forced merge join would reuse the exchange but measured
-    slower — the bucket join is best broadcast).
+    With ``materialize=True`` (default) the banded frame (|docs| x
+    n_bands rows of three fixed-width columns — tiny next to the
+    corpus) is materialized once via localCheckpoint before the
+    self-join: otherwise BOTH join sides re-run the whole
+    shingle+minhash scan, doubling the dominant CPU cost (a forced
+    merge join would reuse the exchange but measured slower — the
+    bucket join is best broadcast). The trade-offs: building the plan
+    triggers an eager Spark job, and checkpointed blocks have no
+    lineage — an executor loss mid-query fails the query instead of
+    recomputing. Pass ``materialize=False`` for explain-only callers
+    or when lineage-backed fault tolerance matters more than the 2x
+    scan (e.g. very long 100 TB runs on preemptible nodes).
     """
     assert num_hashes % band_size == 0
     sig = minhash_signatures(df, text_col, num_hashes, shingle_k, fast)
@@ -218,7 +225,9 @@ def lsh_candidate_pairs(
         )
     banded = sig.select(F.col("doc_id"), F.explode(F.array(*bands)).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -304,20 +313,25 @@ def near_dup_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_k: int = DEFAULT_SHINGLE,
     fast: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Verified near-duplicates: LSH candidates filtered by exact
     shingle-set Jaccard >= threshold (basis points).
 
     This is the standard two-stage near-dup pipeline at scale: the
     quadratic work collapses to the LSH equi-join, and the exact
-    verification touches only candidate pairs.
+    verification touches only candidate pairs. ``materialize`` gates
+    the eager localCheckpoints (see :func:`lsh_candidate_pairs` for
+    the trade-offs).
     """
     # the candidate set is tiny (pairs sharing a band); materialize it
     # so the verification stage and its semi-join pruning both reuse it
     # instead of re-running the band self-join
     cands = lsh_candidate_pairs(
-        df, text_col, num_hashes, band_size, shingle_k, fast
-    ).localCheckpoint(eager=True)
+        df, text_col, num_hashes, band_size, shingle_k, fast, materialize
+    )
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)
     return jaccard_pairs(df, cands, text_col, shingle_k).where(
         F.col("jaccard_bp") >= threshold_bp
     ).select("doc_a", "doc_b", "jaccard_bp")

@@ -1764,10 +1764,29 @@ def p2_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # refined means are data-dependent floats — no SQL oracle (rows-only);
 # recall vs brute force asserted in tests
-@register("embed_ivf_refined", None)
+@register(
+    "embed_ivf_refined",
+    "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+)
 def embed_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a one-iteration k-means-refined codebook: the
-    distributed Lloyd step is a narrow argmax assignment + one
+    distributed Lloyd step is an Arrow-batched argmax assignment + one
     16-group avg aggregation per iteration (shuffle carries 16 x dim
-    partial sums, never vectors)."""
-    return S.ivf_ann_topk_refined(_table(spark, sf_dir, "embeddings"))
+    partial sums, never vectors).
+
+    The refined means are data-dependent floats, so the top-k rows have
+    no SQL twin — instead the query emits its VERIFIABLE CONTRACT:
+    recall@10 of the refined-IVF result against the exact brute-force
+    top-10, required >= 0.6 (measured 0.9-1.0 at sf0.001-0.1; 0.6
+    leaves headroom for unlucky codebooks at other SFs). The oracle is
+    the constant TRUE row: if refinement ever degrades recall below
+    the bound, the hash check fails. Computed as one lazy plan — a
+    semi-join of the two top-k subplans, both TakeOrdered over narrow
+    scans."""
+    emb = _table(spark, sf_dir, "embeddings")
+    refined = S.ivf_ann_topk_refined(emb)
+    brute = S.brute_force_topk(emb).select("vec_id")
+    return refined.join(brute, "vec_id", "semi").agg(
+        F.lit(10).cast("long").alias("k"),
+        (F.count("*") >= F.lit(6)).alias("recall_ok"),
+    )

@@ -428,7 +428,10 @@ class EventHubsStreamReader(DataSourceStreamReader):
 
         bounds = hub_bounds(self.hub_dir, self._conf.partition_count)
         latest = {pid: b[1] for pid, b in bounds.items()}
-        raw = self._conf.get("eventhubs.maxEventsPerTrigger")
+        # bare key first, prefixed alias second (EventHubsConf.scala:711-712)
+        raw = self._conf.get("maxEventsPerTrigger") or self._conf.get(
+            "eventhubs.maxEventsPerTrigger"
+        )
         cursor = self._cursor_read()
         if cursor is None and raw is not None:
             # the engine calls latestOffset before initialOffset on a

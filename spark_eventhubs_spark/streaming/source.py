@@ -80,7 +80,8 @@ class EventHubsSource:
             hub.partition_count, conf.max_acceptable_batch_receive_time_ms
         )
         self.max_offsets_per_trigger: Optional[int] = None
-        raw = conf.get("eventhubs.maxEventsPerTrigger")
+        # bare key first, prefixed alias second (EventHubsConf.scala:711-712)
+        raw = conf.get("maxEventsPerTrigger") or conf.get("eventhubs.maxEventsPerTrigger")
         if raw is not None:
             self.max_offsets_per_trigger = int(raw)
         self.current_seq_nos: Optional[Dict[int, int]] = None

@@ -47,6 +47,21 @@ def test_clean_corpus_removes_near_dup_partners(spark):
     assert dropped  # sanity: the synthetic corpus has near-dups
 
 
+def test_near_dup_pairs_materialize_false_is_lazy_and_identical(spark):
+    """materialize=False must build the plan without running any Spark
+    job (explain-only callers) and return the same rows as the default
+    eager-checkpoint path."""
+    docs = _docs(spark)
+    docs.count()  # settle any read-side jobs first
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    lazy = D.near_dup_pairs(docs, materialize=False)
+    assert set(tracker.getJobIdsForGroup()) == before, "construction ran a job"
+    eager = D.near_dup_pairs(docs)
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+    assert sorted(map(key, lazy.collect())) == sorted(map(key, eager.collect()))
+
+
 def test_clean_corpus_single_lazy_plan_no_cross_join(spark):
     import io
     from contextlib import redirect_stdout
@@ -100,7 +115,7 @@ def test_fast_hash_path_same_guarantees(spark):
     assert sig[1] != sig[3]
     pairs = near_dup_pairs(df, fast=True).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}
-    assert all(r["jaccard_bp"] >= 7000 or True for r in pairs)  # threshold applied upstream
+    assert all(r["jaccard_bp"] >= 7000 for r in pairs)
     assert all({r["doc_a"], r["doc_b"]} != {1, 3} for r in pairs)
 
 
