@@ -21,6 +21,13 @@ sessionization operators):
   ``applyInPandasWithState`` (count + last-seen per user), the
   template for custom stateful operators that none of the built-ins
   express.
+- :func:`streaming_interval_join` — stream-stream inner join with an
+  event-time band (watermarks on BOTH sides bound join state): the
+  streaming twin of the batch ``hub_interval_join`` catalog query.
+- :func:`streaming_asof_join` — per-key carry-forward as-of join via
+  ``applyInPandasWithState`` (state = last left-side event time): the
+  streaming twin of the batch ``hub_asof_join`` catalog query, which
+  the reference has no native operator for either.
 
 Scale notes: all three shuffle once on their key and keep state in the
 state store — state size is O(distinct keys in horizon), bounded by
@@ -140,5 +147,124 @@ def running_counters(sdf: DataFrame, user_key: str = "user_id") -> DataFrame:
         outputStructType=_COUNTER_OUT_SCHEMA,
         stateStructType=_COUNTER_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    band: str = "10 minutes",
+    delay: str = "30 minutes",
+    user_key: str = "user_id",
+) -> DataFrame:
+    """Errors within ``band`` before each purchase, per user — the
+    stream-stream twin of the batch ``hub_interval_join`` query.
+
+    Both inputs are hub streams (may be two readers of the same hub).
+    The join is an EQUI-join on the user key with the time band as a
+    range condition; watermarks on BOTH sides let Spark drop join state
+    older than ``delay + band``, so state is bounded regardless of
+    stream length — the scale property the batch query's docstring
+    promises. Emits one row per (purchase, error) pair in append mode.
+    """
+    a = (
+        left.where(F.col("properties").getItem("event_type") == left_type)
+        .select(
+            F.col("properties").getItem(user_key).alias("user_id"),
+            F.col("enqueuedTime").alias("a_time"),
+        )
+        .withWatermark("a_time", delay)
+    )
+    b = (
+        right.where(F.col("properties").getItem("event_type") == right_type)
+        .select(
+            F.col("properties").getItem(user_key).alias("b_user"),
+            F.col("enqueuedTime").alias("b_time"),
+        )
+        .withWatermark("b_time", delay)
+    )
+    return a.join(
+        b,
+        F.expr(
+            f"user_id = b_user AND "
+            f"b_time >= a_time - INTERVAL {band} AND b_time < a_time"
+        ),
+    ).select(
+        "user_id",
+        F.unix_micros("a_time").alias("a_us"),
+        F.unix_micros("b_time").alias("b_us"),
+    )
+
+
+_ASOF_STATE_SCHEMA = StructType([StructField("last_left_us", LongType())])
+_ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("purchase_us", LongType()),
+        StructField("last_click_us", LongType()),
+    ]
+)
+
+
+def _asof_update(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    last = state.get[0] if state.exists else None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    out = []
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["enq_us", "side", "sequenceNumber"], kind="mergesort"
+        )
+        for enq_us, side in zip(batch["enq_us"], batch["side"]):
+            if side == 0:
+                last = int(enq_us)
+            else:
+                out.append((user_id, int(enq_us), last))
+    state.update((last,))
+    yield pd.DataFrame(
+        out, columns=["user_id", "purchase_us", "last_click_us"]
+    ).astype({"purchase_us": "int64", "last_click_us": "Int64"})
+
+
+def streaming_asof_join(
+    sdf: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    user_key: str = "user_id",
+) -> DataFrame:
+    """For every purchase, the most recent click at-or-before it, per
+    user — the streaming twin of the batch ``hub_asof_join`` query
+    (same (enq_us, side, sequenceNumber) total order, clicks sorting
+    before simultaneous purchases).
+
+    Carry-forward state is ONE long per user (the last click's event
+    time), updated by an Arrow-batched ``applyInPandasWithState``; a
+    window over unbounded history in the batch form becomes O(keys)
+    state here. A purchase that precedes every click emits NULL
+    last_click_us, like the batch query. As-of semantics tolerate
+    in-order streams only (a late click cannot retro-fill an emitted
+    purchase) — the hub source replays per-partition in seqNo order,
+    which is per-user order, so the twin is exact on replay.
+    """
+    keyed = sdf.where(
+        F.col("properties").getItem("event_type").isin(left_type, right_type)
+    ).select(
+        F.col("properties").getItem(user_key).alias("user_id"),
+        F.unix_micros("enqueuedTime").alias("enq_us"),
+        F.col("sequenceNumber"),
+        F.when(
+            F.col("properties").getItem("event_type") == right_type, F.lit(1)
+        ).otherwise(F.lit(0)).alias("side"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -11,7 +11,9 @@ from spark_eventhubs_spark.sources.datasource import (
 )
 from spark_eventhubs_spark.streaming.stateful import (
     running_counters,
+    streaming_asof_join,
     streaming_dedup,
+    streaming_interval_join,
     streaming_sessionize,
 )
 
@@ -116,3 +118,63 @@ def test_running_counters_state(spark, hub_dir, tmp_path):
     got = {r["user_id"]: r["n"] for r in last}
     assert got == batch
     assert sum(got.values()) == 1000
+
+
+def test_streaming_interval_join_matches_batch_catalog(spark, hub_dir, tmp_path):
+    """The stream-stream banded join must produce exactly the rows of
+    the batch hub_interval_join catalog query (aggregated the same
+    way — the groupBy count is a trivial batch step over the emitted
+    pairs; the stateful work is the join itself)."""
+    import __spark_entry__ as entry
+
+    pairs = streaming_interval_join(
+        _stream(spark, hub_dir), _stream(spark, hub_dir)
+    )
+    _run_to_memory(pairs, "ij_out", str(tmp_path / "c_ij"))
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, COUNT(*) AS n FROM ij_out GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id_str"]: r["n_error_before_purchase"]
+        for r in entry.queries()["hub_interval_join"](spark, SF_DIR).collect()
+    }
+    assert got == batch and got
+
+
+def test_streaming_asof_join_matches_batch_catalog(spark, hub_dir, tmp_path):
+    """The carry-forward as-of twin must emit exactly the batch
+    hub_asof_join rows, including NULL last_click_us for purchases
+    with no preceding click. Runs multi-trigger (maxEventsPerTrigger)
+    so the per-user state demonstrably survives across batches."""
+    import __spark_entry__ as entry
+
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", hub_dir)
+        .option("maxEventsPerTrigger", "300")  # bare reference key
+        .option("eventhubs.consumerGroup", "asof_test")
+        .load()
+    )
+    out = streaming_asof_join(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_asof"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["purchase_us"], r["last_click_us"])
+        for r in spark.sql("SELECT * FROM asof_out").collect()
+    }
+    batch = {
+        (r["user_id_str"], r["purchase_us"], r["last_click_us"])
+        for r in entry.queries()["hub_asof_join"](spark, SF_DIR).collect()
+    }
+    assert got == batch and got
