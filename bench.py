@@ -54,13 +54,24 @@ def main() -> None:
     except Exception:
         pass
 
+    from spark_eventhubs_spark.plans.hubview import (
+        clear_cached_plans,
+        hub_view_flat,
+    )
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in qs.items():
         # two executions, keep the fastest: first-run codegen/analysis
-        # and background load otherwise dominate sub-second queries
+        # and background load otherwise dominate sub-second queries.
+        # The catalog memoizes returned DataFrame plans, so clear the
+        # query-plan cache before each run: re-collecting the same
+        # DataFrame object would skip already-materialized shuffle
+        # stages and under-report cost — every timed run below builds
+        # and executes a genuinely fresh plan.
         best = None
         for _ in range(2):
+            clear_cached_plans(spark, "query")
             t0 = time.time()
             try:
                 fn(spark, sf_dir).collect()
@@ -72,12 +83,36 @@ def main() -> None:
         if best is not None:
             timings[name] = round(best, 3)
 
-    # throughput: events scanned per second on the windowed agg
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    t0 = time.time()
-    qs["hub_window_agg"](spark, sf_dir).collect()
-    scan_s = time.time() - t0
-    meps = round(n_events / scan_s / 1e6, 3) if scan_s > 0 else -1
+    # throughput: per-event scan cost through the hub projection on the
+    # flagship windowed agg. The events table is replicated 10x by path
+    # so the ~0.1-0.2 s fixed job-launch cost amortizes and the figure
+    # measures scan speed (the quantity that matters at 100 TB), not
+    # local-mode scheduling overhead. Fresh plan per run, best of 2.
+    events_path = f"{sf_dir}/events.parquet"
+    n_events = spark.read.parquet(events_path).count()
+    scan_mult = 10
+
+    def _scan_query():
+        rep = spark.read.parquet(*([events_path] * scan_mult))
+        from pyspark.sql import functions as F
+
+        return (
+            hub_view_flat(rep)
+            .groupBy(F.expr("enq_us div 3600000000").alias("hour_bucket"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("value_cents").alias("sum_value_cents"),
+            )
+        )
+
+    _scan_query().collect()  # warm
+    scan_s = None
+    for _ in range(2):
+        t0 = time.time()
+        _scan_query().collect()
+        dt = time.time() - t0
+        scan_s = dt if scan_s is None else min(scan_s, dt)
+    meps = round(scan_mult * n_events / scan_s / 1e6, 3) if scan_s > 0 else -1
 
     # --- streaming metrics vs BASELINE.md's 0.2 ms/event worked example ---
     # (a) end-to-end micro-batch replay at the reference's default trigger

@@ -140,3 +140,26 @@ def test_knn_join_broadcasts_query_set(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # scoring side scans embeddings once
     assert plan.count("Scan parquet") <= 2
+
+
+def test_catalog_plan_memoization_and_clear(spark):
+    """Catalog queries memoize their DataFrame plan per (session,
+    sf_dir): repeated invocation returns the same object (plan reuse),
+    and clear_cached_plans forces a fresh build — the contract bench.py
+    relies on to keep timed runs honest."""
+    from spark_eventhubs_spark.plans.hubview import clear_cached_plans
+
+    fn = Q.queries()["hub_window_agg"]
+    a = fn(spark, SF_DIR)
+    b = fn(spark, SF_DIR)
+    assert a is b
+    clear_cached_plans(spark, "query")
+    c = fn(spark, SF_DIR)
+    assert c is not a
+    # base table/view memo survives a prefix-scoped clear
+    from spark_eventhubs_spark.plans.hubview import load_hub_flat
+
+    assert load_hub_flat(spark, SF_DIR) is load_hub_flat(spark, SF_DIR)
+    # and the fresh plan still computes the same result
+    key = lambda r: tuple(r)
+    assert sorted(c.collect(), key=key) == sorted(a.collect(), key=key)
