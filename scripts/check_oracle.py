@@ -39,6 +39,10 @@ def norm_cell(v) -> str:
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0:
+        # DuckDB list columns come back as numpy arrays; normalize to
+        # the same form as Spark's Python lists
+        return norm_cell(v.tolist())
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):

@@ -1,0 +1,352 @@
+"""Corpus-management operators for large-scale training-data pipelines.
+
+The ops a 100 TB pretraining pipeline runs between crawling and
+training, beyond dedup/similarity (operators/dedup.py, similarity.py)
+and per-doc text features (operators/text.py):
+
+- deterministic train/val/test **hash split** (re-runnable, no RNG
+  state: membership is a pure function of the id)
+- **stratified sampling** (k docs per stratum, deterministic hash
+  order — reservoir sampling without the reservoir)
+- context-window **document packing** (assign docs to fixed
+  token-budget bins)
+- **PII scanning** (email / URL / long-digit-run counts + redacted
+  text length)
+- **repetition stats** (duplicate-line ratio, the classic boilerplate
+  / template-page signal)
+- benchmark **decontamination** (drop training docs sharing a
+  winnowing fingerprint with an eval set)
+- **int8 embedding quantization** (symmetric per-vector scale,
+  4x memory on the ANN serving path)
+
+All are pure DataFrame expressions or composed operators — no Python
+UDFs — and each has an exact DuckDB twin so results hash-match across
+engines: hashes via functions/hashing.md5_hash64, ratios in integer
+basis points, float math pinned to an explicit double-op order.
+
+Scale notes per operator are inline; none introduces a shuffle beyond
+its stated keys, and the only join (decontamination) broadcasts the
+eval-set fingerprints, which are small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.functions.hashing import md5_hash64, oracle_md5_hash64
+from spark_eventhubs_spark.operators.text import (
+    oracle_winnowing_fingerprints,
+    tokens_col,
+    winnowing_fingerprints,
+)
+
+# ---------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_bp: int = 8_000,
+    val_bp: int = 1_000,
+) -> DataFrame:
+    """Assign every row to train/val/test by hashing its id into
+    ``SPLIT_BUCKETS`` basis-point buckets: [0, train_bp) -> train,
+    [train_bp, train_bp+val_bp) -> val, rest -> test.
+
+    Membership is a pure function of the key — re-running on new data
+    never reshuffles old rows between splits (the property RNG-based
+    splitters lack). Scale: narrow projection, no shuffle, no RNG."""
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.lit("split|"), F.col(key_col).cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+    return df.select(
+        F.col(key_col),
+        bucket.cast("long").alias("bucket_bp"),
+        F.when(bucket < train_bp, F.lit("train"))
+        .when(bucket < train_bp + val_bp, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def oracle_hash_split(train_bp: int = 8_000, val_bp: int = 1_000) -> str:
+    h = oracle_md5_hash64("('split|' || CAST(doc_id AS VARCHAR))")
+    return f"""WITH b AS (
+  SELECT doc_id, {h} % {SPLIT_BUCKETS} AS bucket_bp FROM documents
+)
+SELECT doc_id, CAST(bucket_bp AS BIGINT) AS bucket_bp,
+  CASE WHEN bucket_bp < {train_bp} THEN 'train'
+       WHEN bucket_bp < {train_bp + val_bp} THEN 'val'
+       ELSE 'test' END AS split
+FROM b"""
+
+
+# ---------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str = "lang", k: int = 20
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each
+    stratum by a hash of their id and keep the first k — an exact,
+    re-runnable stand-in for per-group reservoir sampling.
+
+    Scale: one shuffle on the stratum key; the rank window scans each
+    stratum once. If one stratum dominates, per-partition partial top-k
+    (as in similarity.knn_join) bounds the sort."""
+    order = md5_hash64(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        df.select(F.col("doc_id"), F.col(stratum_col), order.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", stratum_col, F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def oracle_stratified_sample(stratum_col: str = "lang", k: int = 20) -> str:
+    h = oracle_md5_hash64("('sample|' || CAST(doc_id AS VARCHAR))")
+    return f"""WITH r AS (
+  SELECT doc_id, {stratum_col},
+         ROW_NUMBER() OVER (PARTITION BY {stratum_col}
+                            ORDER BY {h}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, {stratum_col}, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------
+# context-window packing
+# ---------------------------------------------------------------------
+
+
+def pack_documents(
+    df: DataFrame, budget: int = 512, group_col: str = "lang"
+) -> DataFrame:
+    """Assign documents to fixed token-budget context windows: within
+    each group (deterministic doc_id order), pack p gets the docs whose
+    *preceding* cumulative token count lands in [p*budget, (p+1)*budget)
+    — the streaming "fill until full, then open the next bin" packer
+    expressed as one window cumsum (a doc longer than the budget simply
+    spans its packs alone).
+
+    Scale: one shuffle on the group key + a sequential per-group scan;
+    token counting is a narrow projection. This is how packing runs in
+    practice — per-shard, order-deterministic — not global optimal
+    bin-packing (NP-hard and pointless at corpus scale). Exactness:
+    cumulative counts stay far below 2^53, so floor(cum/budget) in
+    double is exact and matches the oracle's integer division."""
+    n_tok = F.size(tokens_col(F.col("text"))).cast("long")
+    base = df.select(F.col("doc_id"), F.col(group_col), n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        group_col,
+        "n_tokens",
+        F.floor(cum_before / F.lit(budget)).cast("long").alias("pack_id"),
+    )
+
+
+def oracle_pack_documents(budget: int = 512, group_col: str = "lang") -> str:
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    return f"""WITH t AS (
+  SELECT doc_id, {group_col}, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, {group_col}, n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY {group_col} ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget}
+       AS BIGINT) AS pack_id
+FROM t"""
+
+
+# ---------------------------------------------------------------------
+# PII scanning
+# ---------------------------------------------------------------------
+
+# Patterns restricted to syntax RE2 (DuckDB) and Java regex (Spark)
+# interpret identically: no backrefs, no lookaround, explicit classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_DIGITS = r"[0-9]{9,}"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII signal: counts of email / URL / long-digit-run
+    matches plus the length of the text after redacting all three — the
+    pre-training scrub pass. Scale: narrow projection, scan-speed."""
+    text = F.col(text_col)
+    pat_all = f"({PII_EMAIL})|({PII_URL})|({PII_DIGITS})"
+    return df.select(
+        F.col("doc_id"),
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count(text, F.lit(PII_DIGITS)).cast("long").alias("n_digit_runs"),
+        F.length(F.regexp_replace(text, pat_all, "<PII>")).cast("long").alias(
+            "redacted_len"
+        ),
+    )
+
+
+def oracle_pii_scan() -> str:
+    email, url, digits = PII_EMAIL, PII_URL, PII_DIGITS
+    pat_all = f"({email})|({url})|({digits})"
+    return f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{url}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{digits}')) AS BIGINT) AS n_digit_runs,
+  CAST(length(regexp_replace(text, '{pat_all}', '<PII>', 'g')) AS BIGINT) AS redacted_len
+FROM documents"""
+
+
+# ---------------------------------------------------------------------
+# repetition / boilerplate stats
+# ---------------------------------------------------------------------
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-line ratio per document (basis points): the standard
+    boilerplate/template-page quality signal. Lines are '\\n' splits
+    with surrounding whitespace trimmed; blank lines are ignored.
+    Scale: narrow per-row array math, scan-speed."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    n = F.size(lines).cast("long")
+    n_uniq = F.size(F.array_distinct(lines)).cast("long")
+    return df.select(
+        F.col("doc_id"),
+        n.alias("n_lines"),
+        n_uniq.alias("n_distinct_lines"),
+        F.when(n > 0, F.floor(F.lit(10000) * (n - n_uniq) / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_line_bp"),
+    )
+
+
+def oracle_repetition_stats() -> str:
+    lines = "list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '')"
+    return f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len({lines}) AS BIGINT) AS n_lines,
+         CAST(len(list_distinct({lines})) AS BIGINT) AS n_distinct_lines
+  FROM documents
+)
+SELECT doc_id, n_lines, n_distinct_lines,
+  CAST(CASE WHEN n_lines > 0
+       THEN FLOOR(10000.0 * (n_lines - n_distinct_lines) / n_lines)
+       ELSE 0 END AS BIGINT) AS dup_line_bp
+FROM t"""
+
+
+# ---------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------
+
+DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out eval set
+
+
+def decontaminate(docs: DataFrame, bench_mod: int = DECONTAM_BENCH_MOD) -> DataFrame:
+    """Test-set decontamination: flag every training document that
+    shares a winnowing fingerprint (>= k+w-1 token overlap) with the
+    benchmark set. The benchmark here is the deterministic slice
+    ``doc_id % bench_mod == 0``; in production it is the eval corpus.
+
+    Returns (doc_id, n_shared_fps) for contaminated training docs.
+
+    Scale: fingerprints are narrow per-row math; the benchmark
+    fingerprint set is tiny relative to the corpus (it is an eval set)
+    and is broadcast — the corpus is never shuffled, only scanned."""
+    fps = winnowing_fingerprints(docs)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_fps = fps.where(is_bench).select("fp").distinct()
+    return (
+        fps.where(~is_bench)
+        .join(F.broadcast(bench_fps), "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+    )
+
+
+def oracle_decontaminate(bench_mod: int = DECONTAM_BENCH_MOD) -> str:
+    winnow = oracle_winnowing_fingerprints()
+    return f"""WITH fps AS ({winnow}),
+bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % {bench_mod} = 0)
+SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM fps f JOIN bench b USING (fp)
+WHERE f.doc_id % {bench_mod} <> 0
+GROUP BY f.doc_id"""
+
+
+# ---------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max(|v_i|),
+    code_i = floor(v_i * 127 / scale + 0.5). 4x smaller vectors for
+    the ANN serving path; scale is emitted in integer micros so the
+    row is exactly comparable across engines.
+
+    Exactness: elements are float32 read as exact doubles; the op
+    order (v*127.0, /scale, +0.5, floor) is pinned and IEEE-identical
+    in both engines. Scale: narrow per-row array math, no shuffle."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / scale + F.lit(0.5))
+            .cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col("vec_id"),
+        F.floor(scale * F.lit(1_000_000.0)).cast("long").alias("scale_micros"),
+        codes.alias("codes"),
+    )
+
+
+def quantize_embeddings_flat(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Catalog/oracle projection of :func:`quantize_embeddings` with the
+    code array serialized to a comma-joined string — array-valued
+    result columns have no pinned cross-engine hash representation, a
+    plain string does."""
+    q = quantize_embeddings(df, vec_col)
+    return q.select(
+        "vec_id",
+        "scale_micros",
+        F.array_join(F.col("codes"), ",").alias("codes_str"),
+    )
+
+
+def oracle_quantize_embeddings() -> str:
+    return """WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(FLOOR(scale * 1000000.0) AS BIGINT) AS scale_micros,
+  array_to_string(CASE WHEN scale > 0
+       THEN list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER))
+       ELSE list_transform(embedding, x -> 0) END, ',') AS codes_str
+FROM s"""

@@ -25,6 +25,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_eventhubs_spark.operators import corpus as C
 from spark_eventhubs_spark.operators import dedup as D
 from spark_eventhubs_spark.operators import multimodal as M
 from spark_eventhubs_spark.operators import pipeline as P
@@ -1807,3 +1808,63 @@ def embed_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("long").alias("k"),
         (F.count("*") >= F.lit(6)).alias("recall_ok"),
     )
+
+
+# =====================================================================
+# Corpus-management operators (operators/corpus.py)
+# =====================================================================
+
+@register("corpus_hash_split", C.oracle_hash_split())
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash split (80/10/10 in basis
+    points): membership is a pure function of doc_id — re-runs never
+    move old rows between splits. Narrow projection, no shuffle."""
+    return C.hash_split(_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_stratified_sample", C.oracle_stratified_sample())
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample (hash-ordered rank inside
+    each stratum): exact, re-runnable reservoir-sampling replacement.
+    One shuffle on the stratum key."""
+    return C.stratified_sample(_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_pack_documents", C.oracle_pack_documents())
+def corpus_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign docs to 512-token budget bins
+    per language via one window cumsum in deterministic doc order —
+    the per-shard streaming packer a pretraining tokenizer job runs."""
+    return C.pack_documents(_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_pii_scan", C.oracle_pii_scan())
+def corpus_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub signals: email/URL/long-digit-run counts + redacted
+    length per document. RE2-and-Java-compatible patterns, scan-speed."""
+    return C.pii_scan(_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_repetition_stats", C.oracle_repetition_stats())
+def corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line ratio per doc (boilerplate/template signal) in
+    basis points. Narrow per-row array math."""
+    return C.repetition_stats(_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_decontaminate", C.oracle_decontaminate())
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing a winnowing
+    fingerprint with the eval slice (doc_id % 97 == 0), with shared-fp
+    counts. The eval fingerprint set is broadcast; the corpus is only
+    scanned, never shuffled."""
+    return C.decontaminate(D._spread(_table(spark, sf_dir, "documents")))
+
+
+@register("corpus_quantize_embeddings", C.oracle_quantize_embeddings())
+def corpus_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 per-vector quantization of the embedding column
+    (scale in integer micros + int8 codes as a comma-joined string):
+    4x memory cut on the ANN serving path. Pinned double-op order
+    makes codes engine-exact."""
+    return C.quantize_embeddings_flat(_table(spark, sf_dir, "embeddings"))

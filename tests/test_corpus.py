@@ -1,0 +1,141 @@
+"""Semantic invariants of the corpus-management operators
+(operators/corpus.py). Exact cross-engine values are pinned by the
+DuckDB oracles in the catalog; these tests pin the *properties* the
+operators promise: determinism, bounds, and behavior on crafted rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.operators import corpus as C
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_hash_split_deterministic_and_proportional(docs):
+    a = C.hash_split(docs).collect()
+    b = C.hash_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = len(a)
+    frac_train = sum(1 for r in a if r.split == "train") / n
+    frac_val = sum(1 for r in a if r.split == "val") / n
+    # 80/10/10 within generous tolerance at tiny sf
+    assert 0.7 < frac_train < 0.9
+    assert 0.03 < frac_val < 0.2
+    # membership is a pure function of the id: restricting the input
+    # never changes an id's split
+    subset = C.hash_split(docs.where(F.col("doc_id") % 2 == 0)).collect()
+    full = {r.doc_id: r.split for r in a}
+    assert all(full[r.doc_id] == r.split for r in subset)
+
+
+def test_stratified_sample_k_per_stratum(docs):
+    out = C.stratified_sample(docs, k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r.rn)
+    strata = docs.select("lang").distinct().count()
+    assert len(per) == strata
+    for lang, rns in per.items():
+        assert len(rns) <= 5
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_pack_documents_budget_property(docs):
+    budget = 128
+    out = C.pack_documents(docs, budget=budget).collect()
+    # within each group, packs are dense from 0 and a doc's pack is
+    # preceding-cumsum // budget — recompute in Python and compare
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.lang, []).append(r)
+    for lang, rows in by_group.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // budget, (lang, r)
+            cum += r.n_tokens
+
+
+def test_pii_scan_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or visit https://x.io/p?q=1 now"),
+            (2, "card 1234567890123456 and plain text"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in C.pii_scan(df).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_urls == 1
+    assert rows[2].n_digit_runs == 1
+    assert rows[3].n_emails == rows[3].n_urls == rows[3].n_digit_runs == 0
+    # redaction shortens (or keeps) length, never grows for long matches
+    assert rows[2].redacted_len < len("card 1234567890123456 and plain text")
+
+
+def test_repetition_stats_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same\nsame\nsame\nsame"),
+            (2, "a\nb\nc\nd"),
+            (3, "  \n\n  "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in C.repetition_stats(df).collect()}
+    assert rows[1].n_lines == 4 and rows[1].n_distinct_lines == 1
+    assert rows[1].dup_line_bp == 7500
+    assert rows[2].dup_line_bp == 0
+    assert rows[3].n_lines == 0 and rows[3].dup_line_bp == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # doc 97 is "benchmark" (97 % 97 == 0); doc 5 copies its text and
+    # must be flagged; doc 6 is unrelated
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(97, text), (5, text + " extra tail tokens here"), (6, "totally different words with no shared runs at all")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_shared_fps for r in C.decontaminate(df).collect()}
+    assert 5 in out and out[5] >= 1
+    assert 6 not in out
+    assert 97 not in out  # benchmark rows are never self-flagged
+
+
+def test_quantize_roundtrip_error_bound(emb):
+    q = C.quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").select(
+        F.arrays_zip(
+            F.col("embedding").cast("array<double>"),
+            F.transform(
+                "codes",
+                lambda c: c.cast("double") * F.col("scale_micros") / F.lit(127_000_000.0),
+            ),
+        ).alias("z")
+    )
+    max_err = joined.select(
+        F.array_max(
+            F.transform("z", lambda p: F.abs(p["0"] - p["1"]))
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    # half-step of the int8 grid, plus scale_micros truncation slack
+    scale_bound = 0.5 / 127 + 2e-6
+    assert max_err <= scale_bound * 1.01, max_err
+
+
+def test_quantize_flat_matches_array_form(emb):
+    flat = {r.vec_id: r.codes_str for r in C.quantize_embeddings_flat(emb).collect()}
+    arr = {r.vec_id: ",".join(str(c) for c in r.codes) for r in C.quantize_embeddings(emb).collect()}
+    assert flat == arr
