@@ -88,3 +88,19 @@ def hash64(col: Column, fast: bool = False) -> Column:
     cross-engine hash equality (the operators' STRUCTURE and
     guarantees are identical either way)."""
     return F.xxhash64(col) if fast else md5_hash64(col)
+
+
+# Polynomial k-gram combination: a k-token shingle hash is built from
+# per-TOKEN hashes as (sum_j th[i+j] * A^(k-1-j)) mod P, th beyond the
+# token list counting as 0. One md5 per token (not per shingle), and
+# the combination is 3 multiply-adds — exactly replicable in DuckDB
+# SQL and in a numpy kernel. Overflow audit: th, A^j < P < 2^30, so
+# every product < 2^60 and a k=3 sum < 3*2^60 < 2^63 — exact in
+# signed 64-bit in Spark, DuckDB, and numpy alike.
+SHINGLE_POLY_A = md5_hash64_py("shingle-poly-A") % (MINHASH_PRIME - 1) + 1
+
+
+def shingle_poly_coeffs(k: int) -> list:
+    """[A^(k-1), ..., A, 1] mod P — coefficient for token offset j is
+    ``coeffs[j]``."""
+    return [pow(SHINGLE_POLY_A, k - 1 - j, MINHASH_PRIME) for j in range(k)]

@@ -126,38 +126,125 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): per-hash min over shingle hashes.
 
-    Fully NARROW: the shingle array never leaves its row — per-row
-    ``array_min`` over cheap affine transforms of ONE md5 per shingle
-    (universal hashing) replaces the explode + groupBy formulation, so
-    signature computation needs no shuffle at all (the old form
-    shuffled |shingles| rows into a 16-aggregate groupBy). At 100 TB
-    that is the difference between a scan and a terabyte shuffle.
-    The two-step select materializes the hashed array once per row;
-    the 16 array_min passes reuse it inside whole-stage codegen.
+    Shingle hashes are POLYNOMIAL combinations of per-token hashes
+    (functions/hashing.shingle_poly_coeffs): one hash per token instead
+    of one per shingle, plus k multiply-adds — and min over a multiset
+    equals min over the set, so no distinct pass is needed either.
+
+    Default (oracle-parity) path: one Arrow-batched ``mapInPandas``
+    kernel — md5 over the batch's *unique* tokens only (numpy gather
+    fans hashes back out; corpus vocabulary is tiny next to the token
+    stream), then all 16 affine transforms and segmented minima as
+    whole-array numpy ops. This replaces ~17 interpreted higher-order
+    expression passes per row (the same interpreted-HOF constant the
+    IVF kernel eliminated) at identical values: every intermediate
+    stays a nonnegative int64 < 2^62, exact in numpy, Spark, and
+    DuckDB alike.
+
+    ``fast=True``: pure-JVM expression path using xxhash64 per shingle
+    string — no Python worker round-trip at all, not oracle-checkable.
+
+    Fully NARROW either way: signatures need no shuffle (the classic
+    explode + 16-agg groupBy would shuffle |shingles| rows — at 100 TB
+    the difference between a scan and a terabyte shuffle).
     """
-    # shingling is the CPU-heavy narrow stage: spread it across the
-    # cluster first (a small-file table otherwise runs it in one task;
-    # the extra shuffle moves only (doc_id, text))
-    hashed = _spread(df).select(
-        F.col("doc_id"),
-        F.transform(
-            shingles_col(F.col(text_col), shingle_k),
-            lambda s: F.pmod(hash64(s, fast), F.lit(MINHASH_PRIME)),
-        ).alias("hp_arr"),
-    )
-    def _affine_min(a: int, b: int):
-        return F.array_min(
+    if fast:
+        hashed = _spread(df).select(
+            F.col("doc_id"),
             F.transform(
-                F.col("hp_arr"),
-                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)),
-            )
+                shingles_col(F.col(text_col), shingle_k),
+                lambda s: F.pmod(hash64(s, fast=True), F.lit(MINHASH_PRIME)),
+            ).alias("hp_arr"),
         )
 
-    mins = []
-    for i in range(num_hashes):
-        a, b = minhash_params(i)
-        mins.append(_affine_min(a, b).alias(f"mh_{i}"))
-    return hashed.select("doc_id", *mins)
+        def _affine_min(a: int, b: int):
+            return F.array_min(
+                F.transform(
+                    F.col("hp_arr"),
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)),
+                )
+            )
+
+        mins = []
+        for i in range(num_hashes):
+            a, b = minhash_params(i)
+            mins.append(_affine_min(a, b).alias(f"mh_{i}"))
+        return hashed.select("doc_id", *mins)
+
+    from spark_eventhubs_spark.functions.hashing import shingle_poly_coeffs
+
+    coeffs = shingle_poly_coeffs(shingle_k)
+    ab = [minhash_params(i) for i in range(num_hashes)]
+    prime = MINHASH_PRIME
+    k = shingle_k
+    schema = ", ".join(
+        ["doc_id long"] + [f"mh_{i} long" for i in range(num_hashes)]
+    )
+
+    def _kernel(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy()
+            tok_lists = [
+                [t for t in ws.sub(" ", (s or "").lower()).strip(" ").split(" ") if t]
+                for s in pdf[text_col]
+            ]
+            lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+            flat = np.array(
+                [t for ts in tok_lists for t in ts], dtype=object
+            )
+            if len(flat):
+                uniq, inv = np.unique(flat, return_inverse=True)
+                uh = np.fromiter(
+                    (
+                        int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % prime
+                        for u in uniq
+                    ),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+                th = uh[inv]
+            else:
+                th = np.empty(0, dtype=np.int64)
+
+            # per-row shingle hash arrays (zero-padded poly window),
+            # concatenated so the 16 affine+min passes run whole-array
+            hps = []
+            pos = 0
+            pad = np.zeros(k - 1, dtype=np.int64)
+            for n in lens:
+                if n == 0:
+                    hps.append(np.zeros(1, dtype=np.int64))
+                else:
+                    thp = np.concatenate([th[pos : pos + n], pad])
+                    m = max(n - k + 1, 1)
+                    acc = np.zeros(m, dtype=np.int64)
+                    for j, c in enumerate(coeffs):
+                        acc += thp[j : m + j] * c
+                    hps.append(acc % prime)
+                pos += n
+            sizes = np.array([len(h) for h in hps], dtype=np.int64)
+            starts = np.zeros(len(hps), dtype=np.int64)
+            if len(hps) > 1:
+                starts[1:] = np.cumsum(sizes[:-1])
+            hp_flat = np.concatenate(hps) if hps else np.empty(0, dtype=np.int64)
+
+            out = {"doc_id": doc_ids}
+            for i, (a, b) in enumerate(ab):
+                v = (hp_flat * a + b) % prime
+                out[f"mh_{i}"] = (
+                    np.minimum.reduceat(v, starts) if len(v) else np.empty(0, np.int64)
+                )
+            yield pd.DataFrame(out)
+
+    return _spread(df).select("doc_id", text_col).mapInPandas(_kernel, schema)
 
 
 def _oracle_minhash_aggs(num_hashes: int) -> str:
@@ -168,12 +255,46 @@ def _oracle_minhash_aggs(num_hashes: int) -> str:
     return ",\n  ".join(parts)
 
 
+def _oracle_poly_tail(k: int = DEFAULT_SHINGLE) -> str:
+    """CTE tail (appended after a chain providing ``toks(doc_id, t)``)
+    ending in ``hashed(doc_id, hp)``: per-token md5 hashes combined
+    into k-gram polynomial shingle hashes — the DuckDB twin of the
+    mapInPandas minhash kernel's shingle-hash stage. Out-of-range list
+    indexing yields NULL, COALESCE'd to 0 to match the kernel's zero
+    padding; an empty doc contributes the single hash 0."""
+    from spark_eventhubs_spark.functions.hashing import shingle_poly_coeffs
+
+    coeffs = shingle_poly_coeffs(k)
+    poly = " + ".join(
+        f"COALESCE(th[i+{j}],0) * {c}" for j, c in enumerate(coeffs)
+    )
+    return f""", th AS (
+  SELECT doc_id,
+    list_transform(t, x -> ({oracle_md5_hash64('x')} % {MINHASH_PRIME})) AS th,
+    len(t) AS n
+  FROM toks
+), hp_arr AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+    ELSE list_transform(range(1, greatest(n - {k - 1}, 1) + 1),
+                        i -> ({poly}) % {MINHASH_PRIME}) END AS hps
+  FROM th
+), hashed AS (
+  SELECT doc_id, unnest(hps) AS hp FROM hp_arr
+)"""
+
+
+def oracle_token_poly_cte(k: int = DEFAULT_SHINGLE) -> str:
+    toks = _oracle_tokens_norm("text")
+    return f"""WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+){_oracle_poly_tail(k)}"""
+
+
 def oracle_minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES, shingle_k: int = DEFAULT_SHINGLE
 ) -> str:
-    return f"""{oracle_shingles_cte(shingle_k)}, hashed AS (
-  SELECT doc_id, ({oracle_md5_hash64('shingle')} % {MINHASH_PRIME}) AS hp FROM sh
-)
+    return f"""{oracle_token_poly_cte(shingle_k)}
 SELECT doc_id,
   {_oracle_minhash_aggs(num_hashes)}
 FROM hashed
@@ -252,9 +373,7 @@ def oracle_lsh_candidate_pairs(
         band_rows.append(f"SELECT doc_id, {b} AS band_idx, "
                          f"{oracle_md5_hash64(f'({concat})')} AS band_hash FROM sig")
     bands_union = "\nUNION ALL\n".join(band_rows)
-    return f"""{oracle_shingles_cte(shingle_k)}, hashed AS (
-  SELECT doc_id, ({oracle_md5_hash64('shingle')} % {MINHASH_PRIME}) AS hp FROM sh
-), sig AS (
+    return f"""{oracle_token_poly_cte(shingle_k)}, sig AS (
   SELECT doc_id,
     {_oracle_minhash_aggs(num_hashes)}
   FROM hashed
@@ -352,9 +471,7 @@ def oracle_near_dup_pairs(
         band_rows.append(f"SELECT doc_id, {b} AS band_idx, "
                          f"{oracle_md5_hash64(f'({concat})')} AS band_hash FROM sig")
     bands_union = "\nUNION ALL\n".join(band_rows)
-    return f"""{oracle_shingles_cte(shingle_k)}, hashed AS (
-  SELECT doc_id, ({oracle_md5_hash64('shingle')} % {MINHASH_PRIME}) AS hp FROM sh
-), sig AS (
+    return f"""{oracle_shingles_cte(shingle_k)}{_oracle_poly_tail(shingle_k)}, sig AS (
   SELECT doc_id,
     {_oracle_minhash_aggs(num_hashes)}
   FROM hashed
@@ -384,23 +501,75 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash over token hashes: bit b of the signature is 1
     iff the majority of tokens have bit b set in their md5 hash.
-    One explode + one groupBy with ``bits`` sum-aggregates."""
-    exploded = _spread(df).select(
-        F.col("doc_id"),
-        F.explode(tokens_col(normalize_text(F.col(text_col)))).alias("tok"),
-    ).select("doc_id", hash64(F.col("tok"), fast).alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(bits)
-    ]
-    summed = exploded.groupBy("doc_id").agg(*aggs)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return summed.select("doc_id", sig.cast("long").alias("simhash"))
+    Docs with zero tokens emit no row (token multiset is empty).
+
+    Default (oracle-parity) path: Arrow-batched ``mapInPandas`` — md5
+    over unique tokens, bit votes and the per-row majority as whole-
+    array numpy ops. ZERO shuffle: the classic explode + groupBy
+    formulation shuffles |tokens| rows (a terabyte-scale exchange at
+    100 TB) to compute what is a per-row quantity. ``fast=True``: the
+    JVM expression path with xxhash64 (explode + map-side-combined
+    groupBy — still one shuffle of 16 partial sums per doc)."""
+    if fast:
+        exploded = _spread(df).select(
+            F.col("doc_id"),
+            F.explode(tokens_col(normalize_text(F.col(text_col)))).alias("tok"),
+        ).select("doc_id", hash64(F.col("tok"), fast=True).alias("h"))
+        aggs = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{b}")
+            for b in range(bits)
+        ]
+        summed = exploded.groupBy("doc_id").agg(*aggs)
+        sig = None
+        for b in range(bits):
+            term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        return summed.select("doc_id", sig.cast("long").alias("simhash"))
+
+    n_bits = bits
+
+    def _kernel(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+        bit_idx = np.arange(n_bits, dtype=np.int64)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            tok_lists = [
+                [t for t in ws.sub(" ", (s or "").lower()).strip(" ").split(" ") if t]
+                for s in pdf[text_col]
+            ]
+            lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+            keep = lens > 0
+            flat = [t for ts in tok_lists for t in ts]
+            if not flat:
+                yield pd.DataFrame({"doc_id": ids[:0], "simhash": lens[:0]})
+                continue
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            uh = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) for u in uniq),
+                dtype=np.int64, count=len(uniq),
+            )
+            th = uh[inv]
+            votes = (((th[:, None] >> bit_idx) & 1) * 2 - 1).astype(np.int64)
+            starts = np.zeros(int(keep.sum()), dtype=np.int64)
+            np.cumsum(lens[keep][:-1], out=starts[1:])
+            sums = np.add.reduceat(votes, starts, axis=0)
+            sig = ((sums > 0).astype(np.int64) << bit_idx).sum(axis=1)
+            yield pd.DataFrame({"doc_id": ids[keep], "simhash": sig})
+
+    return (
+        _spread(df)
+        .select("doc_id", text_col)
+        .mapInPandas(_kernel, "doc_id long, simhash long")
+    )
 
 
 def oracle_simhash(bits: int = 16) -> str:

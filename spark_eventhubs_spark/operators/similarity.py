@@ -424,30 +424,77 @@ def pairwise_above_threshold(
     Each side's norm is computed ONCE per row before the join (narrow)
     instead of once per candidate pair — identical doubles, since
     cosine = dot/(sqrt(na)*sqrt(nb)) either way, but 2/3 less vector
-    arithmetic in the post-join hot loop."""
-    with_bucket = df.select(
-        F.col(id_col), F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-        _norm(F.col(vec_col), dim).alias("nrm"),
+    arithmetic in the post-join hot loop.
+
+    Both vector stages run as Arrow-batched ``mapInPandas`` numpy
+    kernels with the sequential-fold arithmetic of
+    :func:`_seq_dot_np` (bit-equal to the SQL oracle): bucket+norm
+    before the join, pair scoring after it. The join itself stays a
+    JVM equi-join on the bucket key."""
+    import numpy as np
+
+    W = np.array(
+        [[float(_plane_weight(p, i)) for i in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+    def _bucket_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bucket = np.zeros(len(X), dtype=np.int64)
+            for p in range(n_planes):
+                proj = _seq_dot_np(X, W[p])
+                bucket += (proj > 0).astype(np.int64) << p
+            nrm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = bucket
+            out["nrm"] = nrm
+            yield out
+
+    with_bucket = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _bucket_fn, f"{id_col} long, {vec_col} array<float>, bucket long, nrm double"
     )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
-    return (
+    cand = (
         a.join(b, "bucket")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.floor(
-                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
-                / (F.col("a.nrm") * F.col("b.nrm"))
-                * 1e6
-            )
-            .cast("long")
-            .alias("score_e6"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
         )
-        .where(F.col("score_e6") >= threshold_e6)
     )
+
+    def _score_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            dot = np.cumsum(A * B, axis=1)[:, -1]
+            s = np.floor(
+                dot / (pdf["na"].to_numpy() * pdf["nb"].to_numpy()) * 1e6
+            ).astype(np.int64)
+            keep = s >= threshold_e6
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "score_e6": s[keep],
+                }
+            )
+
+    return cand.mapInPandas(_score_fn, "vec_a long, vec_b long, score_e6 long")
 
 
 def knn_join(
@@ -472,18 +519,51 @@ def knn_join(
       carries only the k-sized partials — the scale path when the
       corpus side is large (same idea as Spark's TakeOrderedAndProject,
       generalized per group).
+
+    Scoring runs in one Arrow-batched ``mapInPandas`` pass: the query
+    set (tiny by definition) is collected and closed over, and each
+    corpus batch scores against all queries with the exact-arithmetic
+    :func:`_seq_dot_np` fold — replacing |queries| interpreted
+    higher-order cosine evaluations per row while keeping
+    floor(cos*1e6) bit-equal to the SQL oracle.
     """
-    q = df.where(F.col(id_col) < query_max_id).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    )
+    import numpy as np
+
+    qs = [
+        (int(r[0]), np.asarray(r[1], dtype=np.float64))
+        for r in df.where(F.col(id_col) < query_max_id)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    qnorms = {qid: _norm_py(list(qv)) for qid, qv in qs}
+
+    def _score_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xnorm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            frames = []
+            for qid, qv in qs:
+                s = _seq_dot_np(X, qv) / (xnorm * qnorms[qid])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(ids), qid, dtype=np.int64),
+                            id_col: ids,
+                            "score_e6": np.floor(s * 1e6).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
     scored = (
         df.where(F.col(id_col) >= query_max_id)
-        .join(F.broadcast(q))
-        .select(
-            "qid", F.col(id_col),
-            F.floor(cosine_col(F.col(vec_col), F.col("qvec")) * 1e6)
-            .cast("long").alias("score_e6"),
-        )
+        .select(id_col, vec_col)
+        .mapInPandas(_score_fn, f"qid long, {id_col} long, score_e6 long")
     )
     if method == "window":
         from pyspark.sql import Window

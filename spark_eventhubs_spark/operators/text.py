@@ -182,53 +182,127 @@ def winnowing_fingerprints(
     shares at least one fingerprint — the standard plagiarism /
     overlap detector.
 
-    Fully narrow per-row array math (one md5 per gram, window minima
-    via slice+array_min) — no explode until the final distinct-
-    fingerprint emission, no shuffle before the output. Scale: cost is
-    linear in token count; fingerprint density is ~2/(w+1).
+    Default (oracle-parity) path: one Arrow-batched ``mapInPandas``
+    kernel — md5 over the batch's unique tokens, polynomial k-gram
+    combination (functions/hashing.shingle_poly_coeffs), vectorized
+    sliding-window minima. Same interpreted-HOF elimination as the
+    minhash kernel; values identical to the DuckDB twin.
+    ``fast=True``: pure-JVM expression path (xxhash64 per gram
+    string), no Python round-trip, not oracle-checkable.
+
+    No shuffle before the output either way. Scale: cost is linear in
+    token count; fingerprint density is ~2/(w+1).
     """
     from spark_eventhubs_spark.functions.hashing import MINHASH_PRIME, hash64
 
-    toks = tokens_col(normalize_text(F.col(text_col)))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    grams = F.when(n > 0, grams).otherwise(F.array(F.array_join(toks, " ")))
-    hashed = df.select(
-        F.col("doc_id"),
-        F.transform(grams, lambda g: F.pmod(hash64(g, fast), F.lit(MINHASH_PRIME))).alias("gh"),
-    )
-    m = F.size(F.col("gh"))
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
-    )
-    return (
-        hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
-    )
+    if fast:
+        toks = tokens_col(normalize_text(F.col(text_col)))
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+        grams = F.when(n > 0, grams).otherwise(F.array(F.array_join(toks, " ")))
+        hashed = df.select(
+            F.col("doc_id"),
+            F.transform(grams, lambda g: F.pmod(hash64(g, fast=True), F.lit(MINHASH_PRIME))).alias("gh"),
+        )
+        m = F.size(F.col("gh"))
+        mins = F.transform(
+            F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
+        )
+        return (
+            hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+        )
+
+    from spark_eventhubs_spark.functions.hashing import shingle_poly_coeffs
+
+    coeffs = shingle_poly_coeffs(k)
+    prime = MINHASH_PRIME
+
+    def _kernel(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            texts = list(pdf[text_col])
+            ids = list(pdf["doc_id"])
+            tok_lists = [
+                [t for t in ws.sub(" ", (s or "").lower()).strip(" ").split(" ") if t]
+                for s in texts
+            ]
+            flat = [t for ts in tok_lists for t in ts]
+            if flat:
+                uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+                uh = np.fromiter(
+                    (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % prime
+                     for u in uniq),
+                    dtype=np.int64, count=len(uniq),
+                )
+                th_flat = uh[inv]
+            else:
+                th_flat = np.empty(0, dtype=np.int64)
+
+            pos = 0
+            pad = np.zeros(k - 1, dtype=np.int64)
+            for doc_id, ts in zip(ids, tok_lists):
+                n = len(ts)
+                if n == 0:
+                    gh = np.zeros(1, dtype=np.int64)
+                else:
+                    thp = np.concatenate([th_flat[pos : pos + n], pad])
+                    m = max(n - k + 1, 1)
+                    acc = np.zeros(m, dtype=np.int64)
+                    for j, c in enumerate(coeffs):
+                        acc += thp[j : m + j] * c
+                    gh = acc % prime
+                pos += n
+                if len(gh) >= w:
+                    mins = np.lib.stride_tricks.sliding_window_view(gh, w).min(axis=1)
+                else:
+                    mins = gh.min(keepdims=True)
+                fps = np.unique(mins)
+                out_ids.extend([doc_id] * len(fps))
+                out_fps.extend(fps.tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps}).astype(
+                {"doc_id": "int64", "fp": "int64"}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(_kernel, "doc_id long, fp long")
 
 
 def oracle_winnowing_fingerprints(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
-    from spark_eventhubs_spark.functions.hashing import MINHASH_PRIME, oracle_md5_hash64
+    from spark_eventhubs_spark.functions.hashing import (
+        MINHASH_PRIME,
+        oracle_md5_hash64,
+        shingle_poly_coeffs,
+    )
 
+    coeffs = shingle_poly_coeffs(k)
     toks = ("list_filter(regexp_split_to_array("
             "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')")
-    gram_hash = oracle_md5_hash64("g")
+    tok_hash = oracle_md5_hash64("x")
+    poly = " + ".join(f"COALESCE(th[i+{j}],0) * {c}" for j, c in enumerate(coeffs))
     return f"""WITH t AS (
   SELECT doc_id, {toks} AS tk FROM documents
-), grams AS (
+), th_t AS (
   SELECT doc_id,
-    CASE WHEN len(tk) > 0 THEN
-      list_transform(range(1, greatest(len(tk) - {k - 1}, 1) + 1),
-                     i -> array_to_string(tk[i:i+{k - 1}], ' '))
-    ELSE [array_to_string(tk, ' ')] END AS gs
+    list_transform(tk, x -> ({tok_hash} % {MINHASH_PRIME})) AS th,
+    len(tk) AS n
   FROM t
 ), hashed AS (
   SELECT doc_id,
-    list_transform(gs, g -> ({gram_hash} % {MINHASH_PRIME})) AS gh
-  FROM grams
+    CASE WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+    ELSE list_transform(range(1, greatest(n - {k - 1}, 1) + 1),
+                        i -> ({poly}) % {MINHASH_PRIME}) END AS gh
+  FROM th_t
 ), wins AS (
   SELECT doc_id,
     list_distinct(list_transform(range(1, greatest(len(gh) - {w - 1}, 1) + 1),
