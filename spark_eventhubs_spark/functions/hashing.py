@@ -104,3 +104,51 @@ def shingle_poly_coeffs(k: int) -> list:
     """[A^(k-1), ..., A, 1] mod P — coefficient for token offset j is
     ``coeffs[j]``."""
     return [pow(SHINGLE_POLY_A, k - 1 - j, MINHASH_PRIME) for j in range(k)]
+
+
+def poly_shingle_hashes_py(texts, k: int, prime: int = MINHASH_PRIME):
+    """Shared batch stage of the Arrow dedup kernels: normalize +
+    tokenize each text (ASCII-whitespace collapse, lower, split —
+    exactly `_oracle_tokens_norm`), md5-hash the batch's UNIQUE tokens,
+    and emit one int64 numpy array of polynomial k-gram shingle hashes
+    per row (zero-padded window; an empty doc yields [0]). Runs on
+    executors inside mapInPandas closures; pure stdlib+numpy."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    coeffs = shingle_poly_coeffs(k)
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+    tok_lists = [
+        [t for t in ws.sub(" ", (s or "").lower()).strip(" ").split(" ") if t]
+        for s in texts
+    ]
+    flat = [t for ts in tok_lists for t in ts]
+    if flat:
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % prime for u in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        th_flat = uh[inv]
+    else:
+        th_flat = np.empty(0, dtype=np.int64)
+
+    out = []
+    pos = 0
+    pad = np.zeros(k - 1, dtype=np.int64)
+    for ts in tok_lists:
+        n = len(ts)
+        if n == 0:
+            out.append(np.zeros(1, dtype=np.int64))
+        else:
+            thp = np.concatenate([th_flat[pos : pos + n], pad])
+            m = max(n - k + 1, 1)
+            acc = np.zeros(m, dtype=np.int64)
+            for j, c in enumerate(coeffs):
+                acc += thp[j : m + j] * c
+            out.append(acc % prime)
+        pos += n
+    return out

@@ -171,9 +171,6 @@ def minhash_signatures(
             mins.append(_affine_min(a, b).alias(f"mh_{i}"))
         return hashed.select("doc_id", *mins)
 
-    from spark_eventhubs_spark.functions.hashing import shingle_poly_coeffs
-
-    coeffs = shingle_poly_coeffs(shingle_k)
     ab = [minhash_params(i) for i in range(num_hashes)]
     prime = MINHASH_PRIME
     k = shingle_k
@@ -182,54 +179,16 @@ def minhash_signatures(
     )
 
     def _kernel(batches):
-        import hashlib
-        import re
-
         import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"[ \t\n\r\f\v]+")
+        from spark_eventhubs_spark.functions.hashing import poly_shingle_hashes_py
 
         for pdf in batches:
             doc_ids = pdf["doc_id"].to_numpy()
-            tok_lists = [
-                [t for t in ws.sub(" ", (s or "").lower()).strip(" ").split(" ") if t]
-                for s in pdf[text_col]
-            ]
-            lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
-            flat = np.array(
-                [t for ts in tok_lists for t in ts], dtype=object
-            )
-            if len(flat):
-                uniq, inv = np.unique(flat, return_inverse=True)
-                uh = np.fromiter(
-                    (
-                        int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % prime
-                        for u in uniq
-                    ),
-                    dtype=np.int64,
-                    count=len(uniq),
-                )
-                th = uh[inv]
-            else:
-                th = np.empty(0, dtype=np.int64)
-
             # per-row shingle hash arrays (zero-padded poly window),
             # concatenated so the 16 affine+min passes run whole-array
-            hps = []
-            pos = 0
-            pad = np.zeros(k - 1, dtype=np.int64)
-            for n in lens:
-                if n == 0:
-                    hps.append(np.zeros(1, dtype=np.int64))
-                else:
-                    thp = np.concatenate([th[pos : pos + n], pad])
-                    m = max(n - k + 1, 1)
-                    acc = np.zeros(m, dtype=np.int64)
-                    for j, c in enumerate(coeffs):
-                        acc += thp[j : m + j] * c
-                    hps.append(acc % prime)
-                pos += n
+            hps = poly_shingle_hashes_py(list(pdf[text_col]), k, prime)
             sizes = np.array([len(h) for h in hps], dtype=np.int64)
             starts = np.zeros(len(hps), dtype=np.int64)
             if len(hps) > 1:
@@ -397,28 +356,56 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, in basis points.
     ``pairs`` must have (doc_a, doc_b). Joins are equi-joins on doc id;
-    the shingle arrays ride along (no re-explode).
+    the shingle-hash arrays ride along (no re-explode).
 
-    Shingle sets are computed ONLY for docs that appear in a candidate
-    pair (semi-join pruning): verification cost scales with the
-    candidate set, not the corpus — at 100 TB the difference between
+    Sets are DISTINCT polynomial shingle hashes (same spec as the
+    minhash kernel / oracle) rather than shingle strings: set
+    intersection over 60-bit hashes equals string-set intersection
+    absent collisions, the arrays are int64 instead of strings (far
+    cheaper to shuffle and intersect), and the DuckDB twin computes
+    the identical sets so results stay hash-checked.
+
+    Sets are computed ONLY for docs that appear in a candidate pair
+    (semi-join pruning): verification cost scales with the candidate
+    set, not the corpus — at 100 TB the difference between
     re-shingling everything twice and re-shingling a few permille."""
+    from spark_eventhubs_spark.functions.hashing import poly_shingle_hashes_py
+
+    k = shingle_k
+
+    def _sets_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = poly_shingle_hashes_py(list(pdf[text_col]), k)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "hs": [np.unique(h) for h in hs],
+                }
+            )
+
     ids = pairs.select(
         F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
     ).distinct()
-    sets_df = _spread(df.join(ids, "doc_id", "left_semi")).select(
-        F.col("doc_id"), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    sets_df = (
+        _spread(df.join(ids, "doc_id", "left_semi"))
+        .select("doc_id", text_col)
+        .mapInPandas(_sets_fn, "doc_id long, hs array<long>")
     )
     return (
-        pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+        .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.floor(
                 F.lit(10000)
-                * F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                * F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b"))
             ).cast("long").alias("jaccard_bp"),
         )
     )
@@ -471,7 +458,7 @@ def oracle_near_dup_pairs(
         band_rows.append(f"SELECT doc_id, {b} AS band_idx, "
                          f"{oracle_md5_hash64(f'({concat})')} AS band_hash FROM sig")
     bands_union = "\nUNION ALL\n".join(band_rows)
-    return f"""{oracle_shingles_cte(shingle_k)}{_oracle_poly_tail(shingle_k)}, sig AS (
+    return f"""{oracle_token_poly_cte(shingle_k)}, sig AS (
   SELECT doc_id,
     {_oracle_minhash_aggs(num_hashes)}
   FROM hashed
@@ -483,15 +470,17 @@ def oracle_near_dup_pairs(
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
+), hsets AS (
+  SELECT doc_id, list_distinct(hps) AS hs FROM hp_arr
 )
 SELECT c.doc_a, c.doc_b,
-  CAST(FLOOR(10000.0 * len(list_intersect(sa.shingles, sb.shingles))
-       / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) AS BIGINT) AS jaccard_bp
+  CAST(FLOOR(10000.0 * len(list_intersect(sa.hs, sb.hs))
+       / len(list_distinct(list_concat(sa.hs, sb.hs)))) AS BIGINT) AS jaccard_bp
 FROM cand c
-JOIN sh_arr sa ON sa.doc_id = c.doc_a
-JOIN sh_arr sb ON sb.doc_id = c.doc_b
-WHERE FLOOR(10000.0 * len(list_intersect(sa.shingles, sb.shingles))
-      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) >= {threshold_bp}"""
+JOIN hsets sa ON sa.doc_id = c.doc_a
+JOIN hsets sb ON sb.doc_id = c.doc_b
+WHERE FLOOR(10000.0 * len(list_intersect(sa.hs, sb.hs))
+      / len(list_distinct(list_concat(sa.hs, sb.hs)))) >= {threshold_bp}"""
 
 
 # ---- SimHash ----

@@ -172,6 +172,47 @@ def _plane_weight(p: int, i: int) -> int:
     return (md5_hash64_py(f"{p}:{i}") % 2001) - 1000
 
 
+def _bucket_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    with_norm: bool = False,
+) -> DataFrame:
+    """(id, vec, bucket[, nrm]) via one Arrow-batched kernel: all
+    n_planes hyperplane projections as whole-array sequential folds
+    (:func:`_seq_dot_np`), replacing n_planes interpreted HOF
+    evaluations per row. Bit-identical signs to the
+    :func:`hyperplane_bucket` expression form and the SQL oracle."""
+    import numpy as np
+
+    W = np.array(
+        [[float(_plane_weight(p, i)) for i in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    schema = f"{id_col} long, {vec_col} array<float>, bucket long" + (
+        ", nrm double" if with_norm else ""
+    )
+
+    def _fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bucket = np.zeros(len(X), dtype=np.int64)
+            for p in range(n_planes):
+                proj = _seq_dot_np(X, W[p])
+                bucket += (proj > 0).astype(np.int64) << p
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = bucket
+            if with_norm:
+                out["nrm"] = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            yield out
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(_fn, schema)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec_id: int = 0,
@@ -185,12 +226,13 @@ def lsh_ann_topk(
 
     At 100 TB the bucket column is precomputed/partitioned-by at ingest
     so a query touches 1/2^n_planes of the data; here it is derived on
-    the fly. Approximate by construction — recall measured in tests,
-    not oracle-checked.
+    the fly (Arrow bucket kernel — see :func:`_bucket_frame`); scoring
+    the small in-bucket candidate set stays a JVM expression.
+    Approximate by construction — recall measured in tests, not
+    oracle-checked (the catalog entry derives an exact oracle from the
+    deterministic plane weights).
     """
-    with_bucket = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
-    )
+    with_bucket = _bucket_frame(df, id_col, vec_col, dim, n_planes)
     q = with_bucket.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -433,31 +475,7 @@ def pairwise_above_threshold(
     JVM equi-join on the bucket key."""
     import numpy as np
 
-    W = np.array(
-        [[float(_plane_weight(p, i)) for i in range(dim)] for p in range(n_planes)],
-        dtype=np.float64,
-    )
-
-    def _bucket_fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            bucket = np.zeros(len(X), dtype=np.int64)
-            for p in range(n_planes):
-                proj = _seq_dot_np(X, W[p])
-                bucket += (proj > 0).astype(np.int64) << p
-            nrm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
-            out = pdf[[id_col, vec_col]].copy()
-            out["bucket"] = bucket
-            out["nrm"] = nrm
-            yield out
-
-    with_bucket = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _bucket_fn, f"{id_col} long, {vec_col} array<float>, bucket long, nrm double"
-    )
+    with_bucket = _bucket_frame(df, id_col, vec_col, dim, n_planes, with_norm=True)
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     cand = (

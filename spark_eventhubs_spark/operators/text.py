@@ -216,54 +216,17 @@ def winnowing_fingerprints(
             hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
         )
 
-    from spark_eventhubs_spark.functions.hashing import shingle_poly_coeffs
-
-    coeffs = shingle_poly_coeffs(k)
-    prime = MINHASH_PRIME
-
     def _kernel(batches):
-        import hashlib
-        import re
-
         import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"[ \t\n\r\f\v]+")
+        from spark_eventhubs_spark.functions.hashing import poly_shingle_hashes_py
 
         for pdf in batches:
             out_ids, out_fps = [], []
-            texts = list(pdf[text_col])
             ids = list(pdf["doc_id"])
-            tok_lists = [
-                [t for t in ws.sub(" ", (s or "").lower()).strip(" ").split(" ") if t]
-                for s in texts
-            ]
-            flat = [t for ts in tok_lists for t in ts]
-            if flat:
-                uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-                uh = np.fromiter(
-                    (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % prime
-                     for u in uniq),
-                    dtype=np.int64, count=len(uniq),
-                )
-                th_flat = uh[inv]
-            else:
-                th_flat = np.empty(0, dtype=np.int64)
-
-            pos = 0
-            pad = np.zeros(k - 1, dtype=np.int64)
-            for doc_id, ts in zip(ids, tok_lists):
-                n = len(ts)
-                if n == 0:
-                    gh = np.zeros(1, dtype=np.int64)
-                else:
-                    thp = np.concatenate([th_flat[pos : pos + n], pad])
-                    m = max(n - k + 1, 1)
-                    acc = np.zeros(m, dtype=np.int64)
-                    for j, c in enumerate(coeffs):
-                        acc += thp[j : m + j] * c
-                    gh = acc % prime
-                pos += n
+            ghs = poly_shingle_hashes_py(list(pdf[text_col]), k)
+            for doc_id, gh in zip(ids, ghs):
                 if len(gh) >= w:
                     mins = np.lib.stride_tricks.sliding_window_view(gh, w).min(axis=1)
                 else:
