@@ -578,3 +578,89 @@ def oracle_simhash(bits: int = 16) -> str:
   FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM summed"""
+
+
+# ---- near-dup clustering (connected components) ----
+
+def near_dup_components(
+    df: DataFrame,
+    threshold_bp: int = 7000,
+    max_iter: int = 25,
+    fast: bool = False,
+) -> DataFrame:
+    """Cluster verified near-duplicate pairs into components:
+    (doc_id, component_id = min doc_id reachable through near-dup
+    edges). The step exact/near dedup pipelines actually need —
+    "drop doc_b of every pair" under-deletes on chains A~B~C.
+
+    Distributed min-label propagation: every doc in a pair starts
+    labeled with itself; each iteration takes the min of its own and
+    its neighbors' labels (one equi-join + one groupBy per iteration);
+    converges in <= component-diameter rounds, with a driver-side
+    fixpoint check per round. Near-dup components are short chains in
+    practice, so 2-4 rounds; ``max_iter`` bounds adversarial chains.
+    Each round localCheckpoints the (tiny) label frame to truncate
+    lineage — without it round r's plan re-runs rounds 1..r-1.
+
+    Scale: the edge set is |verified pairs| (minuscule next to the
+    corpus); every round shuffles only (doc_id, label) pairs on doc
+    id. For graphs with giant components switch to the
+    large-star/small-star formulation — same join/agg primitives,
+    fewer rounds; the chain-shaped near-dup graphs here converge
+    faster with plain propagation.
+    """
+    pairs = near_dup_pairs(df, threshold_bp=threshold_bp, fast=fast)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    # round 0 folded into the seed: label = min(self, direct neighbors)
+    labels = (
+        edges.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.least(F.col("u"), F.min("v")).alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("component_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("neigh_min"), F.col("component_id")),
+                ).alias("component_id"),
+                (
+                    F.coalesce(F.col("neigh_min"), F.col("component_id"))
+                    < F.col("component_id")
+                ).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def oracle_near_dup_components(threshold_bp: int = 7000) -> str:
+    nd = oracle_near_dup_pairs(threshold_bp=threshold_bp)
+    return f"""WITH RECURSIVE nd AS (
+{nd}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM nd
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM nd
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS component_id
+FROM reach GROUP BY u"""

@@ -1868,3 +1868,50 @@ def corpus_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x memory cut on the ANN serving path. Pinned double-op order
     makes codes engine-exact."""
     return C.quantize_embeddings_flat(_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_components", D.oracle_near_dup_components())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over verified
+    near-dup pairs via distributed min-label propagation (iterative
+    join+agg, driver fixpoint check) — the cluster-then-keep-one step
+    chains (A~B~C) need; pair-wise dropping under-deletes. Oracle is
+    the equivalent recursive-CTE reachability closure."""
+    return D.near_dup_components(_table(spark, sf_dir, "documents"))
+
+
+_SRC_QUALITY_ORACLE = f"""WITH t AS (
+  SELECT source,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS punct_chars
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(FLOOR(10000.0 * SUM(punct_chars) / SUM(n_chars)) AS BIGINT) AS punct_bp
+FROM t GROUP BY source"""
+
+
+@register("corpus_source_quality", _SRC_QUALITY_ORACLE)
+def corpus_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality report (docs / tokens / chars /
+    punctuation-noise bp): the dashboard groupBy a crawl-quality
+    triage runs. One map-side-combined aggregation over a handful of
+    source groups."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = T.tokens_col(F.col("text"))
+    t = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", "")).cast("long").alias("punct_chars"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.floor(F.lit(10000) * F.sum("punct_chars") / F.sum("n_chars")).cast("long").alias("punct_bp"),
+    )

@@ -136,3 +136,33 @@ def test_resize_stub_passthrough_and_universal_hash(spark):
         universal_hash(F.lit("abc"), 3).alias("h")).collect()[0]
     a, b = minhash_params(3)
     assert row["h"] == ((md5_hash64_py("abc") % MINHASH_PRIME) * a + b) % MINHASH_PRIME
+
+
+def test_near_dup_components_chain_clusters_transitively(spark):
+    """A~B~C chains must land in ONE component even when A and C are
+    not themselves a near-dup pair — the under-deletion case pairwise
+    dropping misses."""
+    from spark_eventhubs_spark.operators.dedup import (
+        near_dup_components,
+        near_dup_pairs,
+    )
+
+    # 40-token docs, one token changed per hop: A~B and B~C verify at
+    # jaccard 9487 bp, A~C only at 9000 bp — threshold 9200 keeps the
+    # chain INDIRECT (md5 hashes are deterministic, so these values
+    # are stable)
+    base = " ".join(f"tok{i}" for i in range(40))
+    mid = base.replace("tok0 ", "CHANGED0 ")
+    far = mid.replace("tok39", "CHANGED39")
+    df = spark.createDataFrame(
+        [(10, base), (11, mid), (12, far),
+         (99, "entirely different content with no overlap whatsoever here")],
+        "doc_id LONG, text STRING",
+    )
+    pair_keys = {(r["doc_a"], r["doc_b"])
+                 for r in near_dup_pairs(df, threshold_bp=9200).collect()}
+    assert pair_keys == {(10, 11), (11, 12)}  # A~C not a direct pair
+    comp = {r["doc_id"]: r["component_id"]
+            for r in near_dup_components(df, threshold_bp=9200).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10}
+    assert 99 not in comp
