@@ -178,3 +178,59 @@ def test_streaming_asof_join_matches_batch_catalog(spark, hub_dir, tmp_path):
         for r in entry.queries()["hub_asof_join"](spark, SF_DIR).collect()
     }
     assert got == batch and got
+
+
+def test_streaming_corpus_clean_pipeline(spark, hub_dir, tmp_path):
+    """The corpus-prep recipe on a STREAM: quality gate (token count
+    on the body) -> watermarked dedup on the content fingerprint ->
+    per-partition running doc/token counts. Mirrors the batch
+    pipeline_clean_corpus stages through the native streaming source;
+    verifies the streaming plan computes the same totals as the batch
+    equivalent over the same hub data."""
+    # union the stream with itself: at-least-once redelivery that the
+    # fingerprint dedup must collapse (duplicates are identical rows,
+    # so both engines keep the same values)
+    s = _stream(spark, hub_dir).union(_stream(spark, hub_dir))
+    body = F.col("body").cast("string")
+    feats = s.select(
+        "partition", "enqueuedTime", body.alias("text"),
+        F.size(F.split(body, r"\s+")).cast("long").alias("n_tokens"),
+        F.md5(body).alias("fp"),
+    ).where(F.col("n_tokens") >= 1)
+    cleaned = (
+        feats.withWatermark("enqueuedTime", "10 hours")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    agg = cleaned.groupBy("partition").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("corpus_clean_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ccc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["partition"]: (r["n_docs"], r["total_tokens"])
+        for r in spark.sql("SELECT * FROM corpus_clean_out").collect()
+    }
+    # batch twin over the same materialized hub
+    batch = (
+        spark.read.format("eventhubs").option("path", hub_dir).load()
+        .select("partition", F.col("body").cast("string").alias("text"))
+        .select(
+            "partition",
+            F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+            F.md5(F.col("text")).alias("fp"),
+        )
+        .where(F.col("n_tokens") >= 1)
+        .dropDuplicates(["fp"])
+        .groupBy("partition")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+    want = {
+        r["partition"]: (r["n_docs"], r["total_tokens"]) for r in batch.collect()
+    }
+    assert got == want and got
