@@ -166,3 +166,36 @@ def test_catalog_plan_memoization_and_clear(spark):
     # and the fresh plan still computes the same result
     key = lambda r: tuple(r)
     assert sorted(c.collect(), key=key) == sorted(a.collect(), key=key)
+
+
+def test_minhash_kernel_single_exchange_and_pruned_scan(spark):
+    """The minhash kernel's plan: ONE Exchange (the explicit CPU
+    spread), the Python worker stage, and a (doc_id, text)-pruned
+    scan — no |shingles|-row shuffle anywhere."""
+    simple = _explain(Q.queries()["dedup_minhash_signatures"](spark, SF_DIR), "simple")
+    assert simple.count("Exchange") == 1
+    assert "MapInPandas" in simple
+    plan = _explain(Q.queries()["dedup_minhash_signatures"](spark, SF_DIR))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in rs and "lang" not in rs and "source" not in rs
+
+
+def test_simhash_kernel_no_token_shuffle(spark):
+    """SimHash is per-row in the kernel form: exactly the one spread
+    Exchange, no groupBy over exploded tokens."""
+    simple = _explain(Q.queries()["dedup_simhash"](spark, SF_DIR), "simple")
+    assert simple.count("Exchange") == 1
+    assert "Generate" not in simple  # no explode
+    assert "HashAggregate" not in simple  # no token groupBy
+
+
+def test_corpus_scans_prune_to_needed_columns(spark):
+    """PII scan and repetition stats are narrow projections: the
+    parquet scan reads only (doc_id, text)."""
+    for q in ("corpus_pii_scan", "corpus_repetition_stats"):
+        plan = _explain(Q.queries()[q](spark, SF_DIR))
+        rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "doc_id" in rs and "text" in rs
+        assert "lang" not in rs and "n_chars" not in rs, (q, rs)
+        simple = _explain(Q.queries()[q](spark, SF_DIR), "simple")
+        assert "Exchange" not in simple
