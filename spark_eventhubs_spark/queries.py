@@ -1582,6 +1582,33 @@ def embed_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_knn_join_partial",
+    f"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.qid, e.vec_id,
+    CAST(FLOOR({S.oracle_cosine('e.embedding', 'q.qvec')} * 1000000) AS BIGINT) AS score_e6
+  FROM embeddings e, q
+  WHERE e.vec_id >= 8
+), ranked AS (
+  SELECT qid, vec_id, score_e6,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_e6 DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, score_e6 FROM ranked WHERE rn <= 5""",
+)
+def embed_knn_join_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of the k-NN join, oracle-checked against the
+    same answer as the window form: per-input-partition partial top-k
+    (bounded collect_list + sort+slice) then a final merge of
+    |partitions| x k candidates per query — the shuffle carries only
+    k-sized partials, immune to hot-qid window skew at 100 TB."""
+    return S.knn_join(
+        _table(spark, sf_dir, "embeddings"), query_max_id=8, k=5, method="partial"
+    )
+
+
+@register(
     "hub_interval_join",
     oracle_hub_cte()
     + """

@@ -139,3 +139,31 @@ def test_quantize_flat_matches_array_form(emb):
     flat = {r.vec_id: r.codes_str for r in C.quantize_embeddings_flat(emb).collect()}
     arr = {r.vec_id: ",".join(str(c) for c in r.codes) for r in C.quantize_embeddings(emb).collect()}
     assert flat == arr
+
+
+def test_kernels_handle_empty_and_degenerate_docs(spark):
+    """Arrow kernels must survive empty inputs, empty strings, and
+    whitespace-only docs (the zero-token branches)."""
+    from spark_eventhubs_spark.operators.dedup import (
+        minhash_signatures,
+        simhash,
+    )
+    from spark_eventhubs_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n\t  "), (3, "one"), (4, None)],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["mh_0"] for r in minhash_signatures(df).collect()}
+    assert set(sig) == {1, 2, 3, 4}  # empty docs still get a signature
+    assert sig[1] == sig[2] == sig[4]  # all tokenless -> hp=[0] -> same
+    # simhash drops tokenless docs (empty multiset)
+    sh = {r["doc_id"] for r in simhash(df).collect()}
+    assert sh == {3}
+    fps = {r["doc_id"] for r in winnowing_fingerprints(df).collect()}
+    assert fps == {1, 2, 3, 4}
+    # fully empty frame
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_signatures(empty).count() == 0
+    assert simhash(empty).count() == 0
+    assert winnowing_fingerprints(empty).count() == 0
