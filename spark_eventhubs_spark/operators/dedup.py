@@ -24,7 +24,6 @@ window" over hub data). These operators extend that surface.
 
 from __future__ import annotations
 
-from typing import List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
