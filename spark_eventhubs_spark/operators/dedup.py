@@ -10,12 +10,16 @@ North-star LLM-pipeline operators (SURVEY §2.3):
 Design for 100 TB:
 - everything is shuffle-on-key DataFrame ops: the only joins are
   equi-joins on (band_idx, band_hash) buckets — never a cross join;
-- shingling/minhashing is one explode + one groupBy (map-side combined);
+- shingling/minhashing/simhashing are ZERO-shuffle Arrow kernels
+  (per-token md5 + polynomial k-gram combination, whole-array numpy
+  minima/votes — functions/hashing.poly_shingle_hashes_py);
 - dedup keeps min(doc_id) per cluster so the job is a plain
-  aggregation, not a window;
+  aggregation, not a window; near-dup clusters come from iterative
+  min-label propagation (near_dup_components);
 - hashes are the shared md5-based 60-bit primitive
   (functions/hashing.py) so every step has a DuckDB oracle twin;
-  swap ``fast=True`` to use xxhash64 (faster, not oracle-checkable).
+  swap ``fast=True`` for pure-JVM xxhash64 expression paths (faster
+  per-call, not oracle-checkable).
 
 Reference note: the reference connector has no dedup operators; its
 docs delegate dedup to Spark (README.md:23-24 "map, reduce, join,
