@@ -890,3 +890,54 @@ def ivf_query_indexed(
         _score, f"{id_col} long, score_e6 long"
     )
     return scored.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_append_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing :func:`ivf_build_index`
+    layout: assign against the SAVED codebook (no reseeding — cell
+    semantics stay stable, so old and new vectors are comparable) and
+    append into the same cell_id partitions. The steady-state ingest
+    path: each micro-batch/backfill appends its assignments; queries
+    see the union immediately; rebuild with :func:`ivf_build_index`
+    only when the codebook itself should move."""
+    import numpy as np
+
+    spark = df.sparkSession
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(f"{index_dir}/codebook").collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    C = [np.asarray(v, dtype=np.float64) for _, v in cents]
+    cnorms = [_norm_py(v) for _, v in cents]
+    cids_arr = [cid for cid, _ in cents]
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            rn = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            S = np.empty((X.shape[0], len(C)), dtype=np.float64)
+            for j, c in enumerate(C):
+                S[:, j] = _seq_dot_np(X, c) / (rn * cnorms[j])
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell_id"] = np.asarray(cids_arr, dtype=np.int64)[
+                np.argmax(S, axis=1)
+            ]
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        _assign, f"{id_col} long, {vec_col} array<float>, cell_id long"
+    )
+    (
+        assigned.repartition(F.col("cell_id"))
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/vectors")
+    )

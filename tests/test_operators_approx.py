@@ -142,3 +142,34 @@ def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
              .join(got.select("vec_id"), "vec_id", "semi")
              .select("cell_id").distinct().collect()}
     assert 0 < len(probe) <= 2
+
+
+def test_ivf_append_matches_full_rebuild(spark, tmp_path):
+    """Building an index from half the corpus then appending the rest
+    must equal building from everything at once (same saved codebook
+    => same assignments => same pruned query results)."""
+    from pyspark.sql import functions as F
+
+    from spark_eventhubs_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full_idx = str(tmp_path / "full")
+    inc_idx = str(tmp_path / "inc")
+    S.ivf_build_index(emb, full_idx, n_cells=8)
+    # incremental: half1 must contain ALL seed vectors (vec_id < 8) so
+    # both builds derive the identical codebook; half2 is the backfill
+    half1 = emb.where(F.col("vec_id") < 250)
+    half2 = emb.where(F.col("vec_id") >= 250)
+    S.ivf_build_index(half1, inc_idx, n_cells=8)
+    S.ivf_append_index(half2, inc_idx)
+    cb_full = sorted(map(tuple, spark.read.parquet(f"{full_idx}/codebook").collect()))
+    cb_inc = sorted(map(tuple, spark.read.parquet(f"{inc_idx}/codebook").collect()))
+    assert cb_full == cb_inc
+
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    key = lambda r: (r["vec_id"], r["score_e6"])
+    got = sorted(map(key, S.ivf_query_indexed(
+        spark, inc_idx, qvec, k=10, n_probe=3, exclude_id=0).collect()))
+    want = sorted(map(key, S.ivf_query_indexed(
+        spark, full_idx, qvec, k=10, n_probe=3, exclude_id=0).collect()))
+    assert got == want
