@@ -667,3 +667,43 @@ def oracle_near_dup_components(threshold_bp: int = 7000) -> str:
 )
 SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS component_id
 FROM reach GROUP BY u"""
+
+
+def exploded_shingles(df: DataFrame, text_col: str = "text",
+                      k: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(doc_id, shingle): per-doc DISTINCT k-token shingle strings,
+    exploded — the inverted-index feed for corpus n-gram stats. Arrow
+    kernel twin of :func:`shingles_col` + explode (same row set as
+    ``oracle_shingles_cte``'s ``sh``; a tokenless doc contributes the
+    empty-string shingle), without the interpreted slice/join
+    expression chain. No shuffle; cost linear in token count."""
+
+    def _fn(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for doc_id, s in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in ws.sub(" ", (s or "").lower()).strip(" ").split(" ") if t]
+                n = len(toks)
+                if n == 0:
+                    uniq = {""}
+                else:
+                    uniq = {
+                        " ".join(toks[i : i + k])
+                        for i in range(max(n - k + 1, 1))
+                    }
+                out_ids.extend([doc_id] * len(uniq))
+                out_sh.extend(uniq)
+            yield pd.DataFrame({"doc_id": out_ids, "shingle": out_sh}).astype(
+                {"doc_id": "int64"}
+            )
+
+    return (
+        _spread(df)
+        .select("doc_id", text_col)
+        .mapInPandas(_fn, "doc_id long, shingle string")
+    )

@@ -1523,9 +1523,9 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-frequency inverted-index head). Scale: explode -> map-side
     combined count -> TakeOrdered top-k; the shuffle carries only
     (shingle, partial count)."""
-    docs = D._spread(_table(spark, sf_dir, "documents"))
+    docs = _table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(D.shingles_col(F.col("text"))).alias("shingle"))
+        D.exploded_shingles(docs)
         .groupBy("shingle")
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
