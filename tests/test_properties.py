@@ -117,3 +117,42 @@ def test_connstr_roundtrip_entity_path(name):
     )
     s = base.set_event_hub_name(name).build()
     assert ConnectionStringBuilder.parse(s).entity_path == name
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=" \t\nabcdeABC0.!",
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_poly_shingle_hashes_match_duckdb(texts):
+    """The shared kernel primitive (tokenize -> unique-token md5 ->
+    polynomial k-gram combination) must agree with its DuckDB CTE twin
+    on arbitrary text — the invariant every dedup oracle rests on."""
+    import duckdb
+
+    from spark_eventhubs_spark.functions.hashing import poly_shingle_hashes_py
+    from spark_eventhubs_spark.operators.dedup import oracle_token_poly_cte
+
+    got = {
+        i: sorted(h.tolist())
+        for i, h in enumerate(poly_shingle_hashes_py(texts, 3))
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    rows = con.sql(
+        oracle_token_poly_cte(3) + " SELECT doc_id, hp FROM hashed"
+    ).fetchall()
+    want = {}
+    for doc_id, hp in rows:
+        want.setdefault(doc_id, []).append(hp)
+    want = {k: sorted(v) for k, v in want.items()}
+    assert got == want
