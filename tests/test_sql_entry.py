@@ -59,3 +59,19 @@ def test_build_session_confs(spark):
     assert s.conf.get("spark.sql.session.timeZone") == "UTC"
     # and it can read the nanos-timestamped events table
     assert s.read.parquet(f"{SF_DIR}/events.parquet").count() > 0
+
+
+def test_driver_entry_contract(spark):
+    """The driver's smoke check: entry(spark) runs on sf0.001 and
+    yields rows with a stable schema; every queries() key has either
+    an oracle_sql() entry or a documented rows-only contract."""
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert [f.name for f in df.schema.fields] == ["window_start", "cnt"]
+    qs, osql = em.queries(), em.oracle_sql()
+    assert set(osql) <= set(qs)
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {"hub_approx_users", "p2_approx_percentiles"}
