@@ -746,6 +746,20 @@ LIMIT {k}"""
 # ---------------------------------------------------------------------
 
 
+def _cell_write_partitioned(assigned: DataFrame, id_col: str) -> DataFrame:
+    """Partitioning for the index write: shuffle on (cell_id, salt)
+    instead of cell_id alone. A bare repartition(cell_id) funnels the
+    ENTIRE corpus through |cells| writer tasks — at 100 TB, 16 tasks
+    writing 100 TB. The deterministic id-derived salt spreads each
+    cell across ~parallelism/|cells|+ writers; partitionBy still lays
+    rows out under their cell_id dir (several files per cell, which
+    parquet readers handle natively)."""
+    spark = assigned.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    salt = F.pmod(F.col(id_col), F.lit(max(n, 1)))
+    return assigned.repartition(n, F.col("cell_id"), salt)
+
+
 def ivf_build_index(
     df: DataFrame,
     index_dir: str,
@@ -808,7 +822,7 @@ def ivf_build_index(
         _assign, f"{id_col} long, {vec_col} array<float>, cell_id long"
     )
     (
-        assigned.repartition(F.col("cell_id"))
+        _cell_write_partitioned(assigned, id_col)
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(f"{index_dir}/vectors")
@@ -936,7 +950,7 @@ def ivf_append_index(
         _assign, f"{id_col} long, {vec_col} array<float>, cell_id long"
     )
     (
-        assigned.repartition(F.col("cell_id"))
+        _cell_write_partitioned(assigned, id_col)
         .write.mode("append")
         .partitionBy("cell_id")
         .parquet(f"{index_dir}/vectors")
