@@ -1942,3 +1942,39 @@ def corpus_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.floor(F.lit(10000) * F.sum("punct_chars") / F.sum("n_chars")).cast("long").alias("punct_bp"),
     )
+
+
+@register(
+    "hub_gap_histogram",
+    oracle_hub_cte()
+    + """
+, gaps AS (
+  SELECT enq_us - LAG(enq_us) OVER (PARTITION BY user_id_str
+           ORDER BY enq_us, partition, sequenceNumber) AS gap_us
+  FROM hub
+)
+SELECT CAST(gap_us // 60000000 AS BIGINT) AS gap_minutes,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1""",
+)
+def hub_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (LAG over a deterministic
+    total order, minute buckets) — the inter-arrival analytics shape
+    behind sessionization threshold tuning. Scale: one shuffle on
+    user_id_str; the histogram aggregation is map-side combined over
+    bounded buckets."""
+    from pyspark.sql import Window
+
+    hub = load_hub_flat(spark, sf_dir)
+    w = Window.partitionBy("user_id_str").orderBy(
+        "enq_us", "partition", "sequenceNumber"
+    )
+    return (
+        hub.select(
+            (F.col("enq_us") - F.lag("enq_us").over(w)).alias("gap_us")
+        )
+        .where(F.col("gap_us").isNotNull())
+        .groupBy(F.expr("gap_us div 60000000").alias("gap_minutes"))
+        .agg(F.count("*").alias("n_gaps"))
+    )
