@@ -1978,3 +1978,42 @@ def hub_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("gap_us div 60000000").alias("gap_minutes"))
         .agg(F.count("*").alias("n_gaps"))
     )
+
+
+@register(
+    "w2_order_value_deciles",
+    """WITH t AS (
+  SELECT o_orderpriority AS priority,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+    NTILE(10) OVER (PARTITION BY o_orderpriority
+                    ORDER BY ROUND(o_totalprice * 100), o_orderkey) AS decile
+  FROM orders
+)
+SELECT priority, CAST(decile AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(MAX(price_c) AS BIGINT) AS decile_max_c
+FROM t GROUP BY priority, decile""",
+)
+def w2_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value deciles per priority (NTILE over a deterministic
+    total order) with per-decile counts and boundary values — the
+    distribution-profile window shape. Scale: one shuffle on the
+    priority key; NTILE is a per-key sequential scan like any rank
+    window; bucket stats are map-side combined."""
+    from pyspark.sql import Window
+
+    o = _table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_orderkey"),
+    )
+    w = Window.partitionBy("priority").orderBy("price_c", "o_orderkey")
+    return (
+        t.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("priority", "decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("price_c").alias("decile_max_c"),
+        )
+    )
