@@ -2017,3 +2017,39 @@ def w2_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_c").alias("decile_max_c"),
         )
     )
+
+
+@register(
+    "hub_sliding_window_sum",
+    oracle_hub_cte()
+    + """
+SELECT user_id_str, sequenceNumber,
+  CAST(SUM(value_cents) OVER (PARTITION BY user_id_str ORDER BY enq_us
+       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS trailing_hour_cents,
+  CAST(COUNT(*) OVER (PARTITION BY user_id_str ORDER BY enq_us
+       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS trailing_hour_events
+FROM hub""",
+)
+def hub_sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour sliding totals per user via a RANGE window frame
+    over integer event time — the event-time moving-aggregate shape
+    (fraud velocity checks, rate dashboards). RANGE frames make ties
+    frame-inclusive, so the result is order-deterministic even when
+    two events share a timestamp. Scale: one shuffle on the user key;
+    the frame scan is linear per user (monotone two-pointer)."""
+    from pyspark.sql import Window
+
+    hub = load_hub_flat(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id_str")
+        .orderBy("enq_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return hub.select(
+        "user_id_str",
+        "sequenceNumber",
+        F.sum("value_cents").over(w).alias("trailing_hour_cents"),
+        F.count("*").over(w).alias("trailing_hour_events"),
+    )
