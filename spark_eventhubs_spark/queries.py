@@ -2053,3 +2053,33 @@ def hub_sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").over(w).alias("trailing_hour_cents"),
         F.count("*").over(w).alias("trailing_hour_events"),
     )
+
+
+@register(
+    "hub_property_usage",
+    oracle_hub_cte()
+    + """
+, kv AS (
+  SELECT 'event_type' AS prop_key, COUNT(event_type) AS n FROM hub
+  UNION ALL SELECT 'user_id', COUNT(user_id_str) FROM hub
+  UNION ALL SELECT 'value_cents', COUNT(value_cents) FROM hub
+  UNION ALL SELECT 'k', COUNT(prop_k) FROM hub
+)
+SELECT prop_key, CAST(n AS BIGINT) AS n_events FROM kv WHERE n > 0""",
+)
+def hub_property_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Application-property usage profile straight off the MAP column
+    of the 9-col connector view: explode the properties map, count
+    non-null values per key (the reference's AMQP property surface,
+    EventHubsSourceProvider.scala:180-205). Scale: explode multiplies
+    rows by |keys| (bounded, 4 here) before a map-side-combined
+    count — the standard schema-discovery pass over a property bag."""
+    from spark_eventhubs_spark.plans.hubview import load_hub
+
+    hub = load_hub(spark, sf_dir)
+    return (
+        hub.select(F.explode("properties").alias("prop_key", "v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("prop_key")
+        .agg(F.count("*").alias("n_events"))
+    )
