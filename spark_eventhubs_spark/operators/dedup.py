@@ -362,11 +362,14 @@ def jaccard_pairs(
     the shingle-hash arrays ride along (no re-explode).
 
     Sets are DISTINCT polynomial shingle hashes (same spec as the
-    minhash kernel / oracle) rather than shingle strings: set
-    intersection over 60-bit hashes equals string-set intersection
-    absent collisions, the arrays are int64 instead of strings (far
-    cheaper to shuffle and intersect), and the DuckDB twin computes
-    the identical sets so results stay hash-checked.
+    minhash kernel / oracle) rather than shingle strings: the
+    polynomial fold reduces mod MINHASH_PRIME (~2^30), so hash-set
+    intersection equals string-set intersection up to ~2^-30
+    per-shingle-pair collision odds — if tighter verification is ever
+    needed, add a second independent polynomial (different A/P) and
+    intersect on the hash pair. The arrays are int64 instead of
+    strings (far cheaper to shuffle and intersect), and the DuckDB
+    twin computes the identical sets so results stay hash-checked.
 
     Sets are computed ONLY for docs that appear in a candidate pair
     (semi-join pruning): verification cost scales with the candidate

@@ -576,7 +576,8 @@ def knn_join(
                         }
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     scored = (
         df.where(F.col(id_col) >= query_max_id)

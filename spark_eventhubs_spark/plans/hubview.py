@@ -148,13 +148,27 @@ def hub_view(events: DataFrame, partition_count: int = DEFAULT_PARTITION_COUNT) 
 # so the per-session view cache below is pure memoization: it skips the
 # repeated parquet footer/schema read (~100 ms of driver time per
 # spark.read.parquet) and the view-plan rebuild that otherwise dominate
-# sub-second catalog queries. Keyed weakly so entries die with the
-# session; cache_dataframe is shared with queries._table.
+# sub-second catalog queries; cache_dataframe is shared with
+# queries._table.
+#
+# Weak keys alone cannot evict: the cached DataFrame values hold strong
+# references back to their SparkSession, so an entry pins its own key.
+# Eviction is therefore explicit — clear_cached_plans(spark) on session
+# stop — plus the opportunistic purge of already-stopped sessions below,
+# which keeps long-lived multi-session processes bounded.
 _df_cache: "WeakKeyDictionary[SparkSession, Dict[tuple, DataFrame]]" = WeakKeyDictionary()
 
 
+def _purge_stopped_sessions() -> None:
+    for s in [s for s in _df_cache if getattr(s._sc, "_jsc", None) is None]:
+        del _df_cache[s]
+
+
 def cache_dataframe(spark: SparkSession, key: tuple, build) -> DataFrame:
-    per = _df_cache.setdefault(spark, {})
+    per = _df_cache.get(spark)
+    if per is None:
+        _purge_stopped_sessions()
+        per = _df_cache.setdefault(spark, {})
     df = per.get(key)
     if df is None:
         df = per[key] = build()
@@ -163,7 +177,10 @@ def cache_dataframe(spark: SparkSession, key: tuple, build) -> DataFrame:
 
 def clear_cached_plans(spark: SparkSession, prefix: str | None = None) -> None:
     """Drop memoized DataFrame plans for a session (all, or only keys
-    whose first element equals ``prefix``). bench.py clears the
+    whose first element equals ``prefix``). This is also the eviction
+    path for long-lived processes: call it when stopping a session
+    (stopped sessions are additionally purged opportunistically on the
+    next cache miss). bench.py clears the
     ``"query"`` entries between timed runs so every timed execution
     builds and runs a fresh plan — reusing the same DataFrame object
     would let Spark skip already-materialized shuffle stages and
