@@ -60,28 +60,41 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for name, fn in qs.items():
-        # two executions, keep the fastest: first-run codegen/analysis
-        # and background load otherwise dominate sub-second queries.
-        # The catalog memoizes returned DataFrame plans, so clear the
-        # query-plan cache before each run: re-collecting the same
-        # DataFrame object would skip already-materialized shuffle
-        # stages and under-report cost — every timed run below builds
-        # and executes a genuinely fresh plan.
-        best = None
-        for _ in range(2):
-            clear_cached_plans(spark, "query")
-            t0 = time.time()
-            try:
+        # Variance control: run 0 is an untimed warmup (codegen/analysis
+        # dominates sub-second queries), then 3 timed runs for fast
+        # queries / 1 for expensive ones (>= 2 s warmup — extra runs
+        # would bloat bench wall-clock without changing the story).
+        # Reported figure = median of the timed runs; [min, max] spread
+        # goes to "queries_spread" so cross-round deltas are
+        # attributable to code vs noise. The catalog memoizes returned
+        # DataFrame plans, so clear the query-plan cache before each
+        # run: re-collecting the same DataFrame object would skip
+        # already-materialized shuffle stages and under-report cost —
+        # every timed run below builds and executes a genuinely fresh
+        # plan.
+        samples: list[float] = []
+        warm = None
+        try:
+            for i in range(4):
+                clear_cached_plans(spark, "query")
+                t0 = time.time()
                 fn(spark, sf_dir).collect()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            except Exception as e:  # a failed query must not hide the rest
-                failures[name] = str(e).split("\n")[0][:200]
-                break
-        if best is not None:
-            timings[name] = round(best, 3)
+                if i == 0:
+                    warm = dt
+                    continue
+                samples.append(dt)
+                if warm >= 2.0:
+                    break
+        except Exception as e:  # a failed query must not hide the rest
+            failures[name] = str(e).split("\n")[0][:200]
+        if samples:
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     # throughput: per-event scan cost through the hub projection on the
     # flagship windowed agg. The events table is replicated 10x by path
@@ -175,6 +188,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
         "sf": sf,
         "n_queries": len(timings),
         "events_rows": n_events,

@@ -328,11 +328,15 @@ def _ivf_scan_fn(cents, probe_cids, qvec, query_vec_id, id_col, vec_col):
     return fn
 
 
-def _cell_assign_fn(cents, vec_col):
-    """mapInPandas kernel for k-means assignment: emit (vector, nearest
-    centroid id) per row. Same argmax/tie semantics as
-    :func:`_ivf_scan_fn`; vectors are re-emitted as float64 so the
-    downstream per-dimension avg aggregates see exact values."""
+def _cell_partials_fn(cents, vec_col):
+    """mapInPandas kernel for the Lloyd update step: per Arrow batch,
+    assign rows to their nearest centroid (same argmax/tie semantics as
+    :func:`_ivf_scan_fn`) and emit one ``(cid, n, vec_sum)`` partial per
+    non-empty cell — the map-side combine of the mean aggregation done
+    inside the kernel. Output is <= n_cells rows per batch regardless of
+    batch size, so collecting the partials and finishing the average on
+    the driver is O(cells * dim) — the treeAggregate shape of
+    distributed k-means, with no wide shuffle and no 64-column codegen."""
     import numpy as np
 
     C = [np.asarray(v, dtype=np.float64) for _, v in cents]
@@ -350,10 +354,14 @@ def _cell_assign_fn(cents, vec_col):
             S = np.empty((X.shape[0], len(C)), dtype=np.float64)
             for j, c in enumerate(C):
                 S[:, j] = _seq_dot_np(X, c) / (rn * cnorms[j])
-            yield pd.DataFrame({
-                vec_col: list(X),
-                "cid": cids[np.argmax(S, axis=1)],
-            })
+            a = np.argmax(S, axis=1)
+            out_cid, out_n, out_sum = [], [], []
+            for j in np.unique(a):
+                mask = a == j
+                out_cid.append(int(cids[j]))
+                out_n.append(int(mask.sum()))
+                out_sum.append(X[mask].sum(axis=0))
+            yield pd.DataFrame({"cid": out_cid, "n": out_n, "s": out_sum})
 
     return fn
 
@@ -627,39 +635,56 @@ def kmeans_refine_centroids(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_cents: list | None = None,
 ) -> list:
     """Distributed Lloyd iterations refining the IVF codebook.
 
     Seeds from the first ``n_cells`` vectors (deterministic, as
-    ivf_ann_topk), then per iteration: Arrow-batched numpy argmax
-    assignment against the codebook (mapInPandas, no shuffle of
-    vectors), one groupBy(cell) with per-dimension avg aggregates
-    (map-side combined — the shuffle carries 16 x dim partial sums,
-    not vectors), collect the 16 new means. Exactly the Spark shape of
-    large-scale k-means: iterations are driver-coordinated jobs over
-    broadcast codebooks. Returns [(cid, [centroid floats])] sorted by
-    cid.
+    ivf_ann_topk), then per iteration runs ONE job: an Arrow-batched
+    kernel that assigns each row to its nearest centroid and emits
+    per-cell ``(n, vec_sum)`` partials (<= n_cells rows per Arrow
+    batch), which the driver merges and divides — the treeAggregate
+    shape of large-scale k-means. No shuffle of vectors, no wide
+    aggregation; the only cross-machine traffic is cells x dim partial
+    sums. Multi-iteration runs persist the narrow vector projection so
+    each Lloyd step re-reads cached columns, not parquet. Returns
+    [(cid, [centroid floats])] sorted by cid.
     """
-    rows = sorted(
-        df.where(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect(),
-        key=lambda r: r["cid"],
-    )
-    cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
-    for _ in range(iters):
-        assigned = df.select(F.col(vec_col)).mapInPandas(
-            _cell_assign_fn(cents, vec_col),
-            schema=f"{vec_col} array<double>, cid long",
+    import numpy as np
+
+    if seed_cents is not None:
+        cents = list(seed_cents)
+    else:
+        rows = sorted(
+            df.where(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .collect(),
+            key=lambda r: r["cid"],
         )
-        means = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
-        )
-        by_cid = {r["cid"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
-        # empty cells keep their previous centroid
-        cents = [(cid, by_cid.get(cid, cvec)) for cid, cvec in cents]
+        cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+    base = df.select(F.col(vec_col))
+    if iters > 1:
+        base = base.persist()
+    try:
+        for _ in range(iters):
+            partials = base.mapInPandas(
+                _cell_partials_fn(cents, vec_col),
+                schema="cid long, n long, s array<double>",
+            ).collect()
+            acc: dict = {}
+            for r in partials:
+                n, s = acc.get(r["cid"], (0, None))
+                v = np.asarray(r["s"], dtype=np.float64)
+                acc[r["cid"]] = (n + r["n"], v if s is None else s + v)
+            # empty cells keep their previous centroid
+            cents = [
+                (cid, [float(x) for x in acc[cid][1] / acc[cid][0]])
+                if cid in acc else (cid, cvec)
+                for cid, cvec in cents
+            ]
+    finally:
+        if iters > 1:
+            base.unpersist()
     return cents
 
 
@@ -678,15 +703,28 @@ def ivf_ann_topk_refined(
     as :func:`ivf_ann_topk`, but cells come from
     :func:`kmeans_refine_centroids` — tighter cells, better recall at
     the same n_probe. Refined means are data-dependent floats, so no
-    SQL oracle (rows-only check); recall is asserted in tests."""
+    SQL oracle (rows-only check); recall is asserted in tests.
+
+    The seed codebook and the query vector are fetched in ONE bounded
+    collect (both are pushed-down point/range filters on the id
+    column), so the whole operator runs iters + 2 jobs total."""
     import math
 
-    cents = kmeans_refine_centroids(df, n_cells, iters, dim, id_col, vec_col)
-    qvec = [
-        float(x)
-        for r in df.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
-        for x in r[0]
-    ]
+    rows = (
+        df.where((F.col(id_col) < n_cells) | (F.col(id_col) == query_vec_id))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    seeds = sorted(
+        ((r["cid"], [float(x) for x in r["cvec"]]) for r in rows if r["cid"] < n_cells),
+        key=lambda t: t[0],
+    )
+    qvec = next(
+        [float(x) for x in r["cvec"]] for r in rows if r["cid"] == query_vec_id
+    )
+    cents = kmeans_refine_centroids(
+        df, n_cells, iters, dim, id_col, vec_col, seed_cents=seeds
+    )
 
     def _dot_py(a, b):
         acc = 0.0

@@ -26,14 +26,17 @@ this module derives the same 9-column shape from it deterministically:
                      (EventHubsSourceProvider.scala:183-205)
     systemProperties = empty map
 
-Timestamp note: ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
-only reads with ``spark.sql.legacy.parquet.nanosAsLong=true`` (as a
-bigint of epoch-nanoseconds). We embrace that: the flat view carries
-``enq_us`` (BIGINT epoch-microseconds — DuckDB's native timestamp
-resolution, so the oracle reproduces it exactly via ``epoch_us(ts)``)
-and all event-time logic is integer math. The seqNo window orders by
-the SAME µs-truncated key in both engines so ordering ties resolve
-identically. The 9-column canonical view converts to TimestampType.
+Timestamp note: the physical type of ``events.ts`` is driver-controlled
+and has drifted between regenerations — parquet TIMESTAMP(NANOS) (read
+as bigint epoch-nanos under ``spark.sql.legacy.parquet.nanosAsLong``)
+and TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ; the legacy conf
+is a no-op there). ``_enq_us`` branches on the resolved Spark dtype so
+either storage collapses to the same canonical key: ``enq_us`` (BIGINT
+epoch-microseconds — DuckDB's native timestamp resolution, so the
+oracle reproduces it exactly via ``epoch_us(ts)``). All event-time
+logic is integer math on that key; the seqNo window orders by the SAME
+µs key in both engines so ordering ties resolve identically. The
+9-column canonical view converts to TimestampType.
 
 Scale note (100 TB): the ROW_NUMBER derivation is a one-time,
 per-partition shuffle+sort that exists only because our storage lacks
@@ -89,14 +92,22 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def _enq_us() -> Column:
-    # ts is bigint epoch-nanos (nanosAsLong); truncate to µs = DuckDB resolution
-    return F.expr("ts div 1000")
+def _enq_us(events: DataFrame) -> Column:
+    # The testdata's physical type for ``ts`` has drifted across driver
+    # regenerations: parquet TIMESTAMP(NANOS) reads as bigint epoch-nanos
+    # under nanosAsLong, TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ (the
+    # legacy conf is a no-op for micros). Branch on the resolved dtype so
+    # either storage yields the same BIGINT epoch-µs event-time key.
+    t = dict(events.dtypes)["ts"]
+    if t == "bigint":  # epoch-nanos via nanosAsLong; truncate to µs
+        return F.expr("ts div 1000")
+    # timestamp / timestamp_ntz (session tz is UTC, so the cast is identity)
+    return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
-def _seq_no_col(partition_count: int) -> Column:
+def _seq_no_col(events: DataFrame, partition_count: int) -> Column:
     w = Window.partitionBy(F.col("user_id") % F.lit(partition_count)).orderBy(
-        _enq_us().asc(), F.col("event_id").asc()
+        _enq_us(events).asc(), F.col("event_id").asc()
     )
     return (F.row_number().over(w) - F.lit(1)).cast("long")
 
@@ -107,13 +118,13 @@ def hub_view_flat(events: DataFrame, partition_count: int = DEFAULT_PARTITION_CO
     ``properties`` exploded into typed columns, ``body`` as string and
     ``enq_us`` as epoch-micros BIGINT, so results hash identically
     across Spark and DuckDB."""
-    seq = _seq_no_col(partition_count)
+    seq = _seq_no_col(events, partition_count)
     return events.select(
         F.col("event_id").cast("string").alias("body_str"),
         (F.col("user_id") % F.lit(partition_count)).cast("string").alias("partition"),
         seq.cast("string").alias("offset"),
         seq.alias("sequenceNumber"),
-        _enq_us().alias("enq_us"),
+        _enq_us(events).alias("enq_us"),
         F.col("event_type"),
         F.col("user_id").cast("string").alias("user_id_str"),
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),

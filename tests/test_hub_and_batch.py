@@ -187,3 +187,48 @@ def test_kafka_key_extraction(spark):
         kafka_key().alias("key"),
     ).collect()
     assert {(r["value"], r["key"]) for r in rows} == {("v1", "42"), ("v2", None)}
+
+
+def test_hub_view_survives_ts_dtype_drift(spark, tmp_path):
+    """The driver's testdata has shipped ``ts`` as parquet
+    TIMESTAMP(NANOS) (read as bigint epoch-nanos under nanosAsLong),
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ — the legacy conf is a
+    no-op there), and could legitimately ship raw bigint epoch-nanos.
+    hub_view_flat must build and produce identical rows for all three
+    physical encodings of the same instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_eventhubs_spark.plans.hubview import hub_view_flat
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch-µs
+    n = 40
+    cols = {
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array([i * 1.25 for i in range(n)], pa.float64()),
+        "props": pa.array(['{"k":"%d"}' % (i % 5) for i in range(n)]),
+    }
+    us = [base_us + i * 1_000_003 for i in range(n)]
+
+    # int64 -> timestamp(unit) casts interpret the integer in that unit
+    variants = {
+        "ns": pa.array([u * 1000 for u in us], pa.int64()).cast(pa.timestamp("ns")),
+        "us": pa.array(us, pa.int64()).cast(pa.timestamp("us")),
+        "bigint": pa.array([u * 1000 for u in us], pa.int64()),  # epoch-nanos
+    }
+
+    results = {}
+    for name, ts_arr in variants.items():
+        path = str(tmp_path / f"events_{name}.parquet")
+        tbl = pa.table({"event_id": cols["event_id"], "ts": ts_arr,
+                        "user_id": cols["user_id"], "event_type": cols["event_type"],
+                        "value": cols["value"], "props": cols["props"]})
+        pq.write_table(tbl, path)
+        df = hub_view_flat(spark.read.parquet(path))
+        results[name] = sorted(tuple(r) for r in df.collect())
+
+    assert results["ns"] == results["us"] == results["bigint"]
+    # and the event-time key is real epoch-µs
+    assert results["us"][0][4] == base_us

@@ -60,22 +60,16 @@ def test_approx_count_distinct_error(spark):
 
 
 def test_approx_percentiles_close_to_exact(spark):
+    """p2 emits its contract directly: every approximate percentile must
+    sit inside the exact envelope at rank q +/- 0.005 (GK guarantees
+    1e-4 rank error at accuracy=10000, so these are all TRUE unless the
+    sketch breaks)."""
     from spark_eventhubs_spark import queries as Q
 
-    exact = {
-        r["priority"]: (r["p50_c"], r["p90_c"], r["p99_c"])
-        for r in Q.queries()["p1_price_percentiles"](spark, SF_DIR).collect()
-    }
-    approx = {
-        r["priority"]: (r["p50_c"], r["p90_c"], r["p99_c"])
-        for r in Q.queries()["p2_approx_percentiles"](spark, SF_DIR).collect()
-    }
-    assert exact.keys() == approx.keys()
-    for prio in exact:
-        for e, a in zip(exact[prio], approx[prio]):
-            # rank error 1e-4 on ~3k rows/group -> values should be
-            # within a tiny relative band of the exact percentile
-            assert abs(a - e) <= max(0.02 * e, 1)
+    rows = Q.queries()["p2_approx_percentiles"](spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per o_orderpriority
+    for r in rows:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
 
 
 def test_knn_join_partial_equals_window(spark):

@@ -73,5 +73,7 @@ def test_driver_entry_contract(spark):
     assert [f.name for f in df.schema.fields] == ["window_start", "cnt"]
     qs, osql = em.queries(), em.oracle_sql()
     assert set(osql) <= set(qs)
-    rows_only = set(qs) - set(osql)
-    assert rows_only == {"hub_approx_users", "p2_approx_percentiles"}
+    # every catalog entry now carries an oracle — the sketch-based ones
+    # (hub_approx_users, p2_approx_percentiles) via constant-TRUE
+    # contract oracles rather than value oracles
+    assert set(qs) == set(osql)
