@@ -273,3 +273,80 @@ def oracle_winnowing_fingerprints(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
   FROM hashed
 )
 SELECT doc_id, unnest(fps) AS fp FROM wins"""
+
+
+# ---- heavy hitters (Misra-Gries two-pass) ----
+
+HH_PHI_BP = 20     # heavy = frequency > 0.2% of all corpus tokens
+HH_MIN_K = 1024    # floor on summary size (>= 1/phi guarantees superset)
+
+
+def _mg_summary_fn(k: int, token_col: str):
+    """mapInPandas kernel: ONE Misra-Gries summary per input partition.
+    Batches are merged into the running summary via value_counts; when
+    the summary exceeds ``k`` entries it is compressed by subtracting
+    the (k+1)-th largest weight and dropping non-positives (the
+    mergeable-summaries formulation — Agarwal et al., "Mergeable
+    Summaries"; undercount per item is bounded by N_p/(k+1)). The
+    kernel holds at most ~2k counters regardless of partition size and
+    emits only the surviving candidate tokens."""
+
+    def fn(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for tok, c in pdf[token_col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        yield pd.DataFrame({token_col: list(counters.keys())}, dtype=object)
+
+    return fn
+
+
+def heavy_hitters(
+    df: DataFrame, phi_bp: int = HH_PHI_BP, text_col: str = "text"
+) -> DataFrame:
+    """EXACT corpus heavy hitters — every token whose frequency exceeds
+    ``phi_bp`` basis points of the total token count — via the
+    standard two-pass sketch pattern that makes this tractable at
+    100 TB:
+
+    pass 1: per-partition Misra-Gries summaries (bounded memory, zero
+    shuffle) whose union is a guaranteed SUPERSET of the true heavy
+    hitters (pigeonhole: a token above phi globally is above phi in
+    some partition, and the summary size k >= 1/phi keeps it);
+    pass 2: exact counts of the candidates only — the groupBy shuffles
+    just the semi-joined token stream against a BROADCAST candidate
+    set of <= k * n_partitions entries, never the full vocabulary.
+
+    The result is exact (not approximate), so the DuckDB twin is the
+    plain HAVING query. At toy scale (total tokens < k) the summary is
+    the exact vocabulary and the guarantee is trivial."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    total = toks.count()
+    thr = (total * phi_bp) // 10000
+    # summary size: >= ceil(total/thr) keeps the superset guarantee
+    # exact even when floor() makes thr/total slightly under phi
+    k = max(HH_MIN_K, total if thr < 1 else -(-total // thr))
+    cands = toks.mapInPandas(_mg_summary_fn(k, "token"), "token string").distinct()
+    return (
+        toks.join(F.broadcast(cands), "token", "semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > F.lit(thr))
+    )
+
+
+def oracle_heavy_hitters(phi_bp: int = HH_PHI_BP) -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH tk AS (
+  SELECT unnest({toks}) AS token FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM tk
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tk GROUP BY 1
+HAVING COUNT(*) > (SELECT CAST(n * {phi_bp} // 10000 AS BIGINT) FROM tot)"""

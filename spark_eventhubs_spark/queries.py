@@ -1601,6 +1601,17 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_heavy_hitters", T.oracle_heavy_hitters())
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens above 0.2% of total token
+    mass) via two-pass Misra-Gries: bounded-memory per-partition
+    summaries -> guaranteed candidate superset -> exact counts of
+    candidates only. Scale: pass 1 is shuffle-free; pass 2's groupBy
+    carries only tokens surviving a broadcast semi-join, never the
+    full vocabulary (operators/text.py:heavy_hitters)."""
+    return T.heavy_hitters(_table(spark, sf_dir, "documents"))
+
+
 @register(
     "text_length_histogram",
     """SELECT CAST(FLOOR(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) / 10) AS BIGINT) AS bucket,
