@@ -65,8 +65,10 @@ def main() -> None:
     for name, fn in qs.items():
         # Variance control: run 0 is an untimed warmup (codegen/analysis
         # dominates sub-second queries), then 3 timed runs for fast
-        # queries / 1 for expensive ones (>= 2 s warmup — extra runs
-        # would bloat bench wall-clock without changing the story).
+        # queries / 2 for expensive ones (>= 2 s warmup — a third run
+        # would bloat bench wall-clock without changing the story, but
+        # a single sample can't distinguish a GC hiccup from a real
+        # regression).
         # Reported figure = median of the timed runs; [min, max] spread
         # goes to "queries_spread" so cross-round deltas are
         # attributable to code vs noise. The catalog memoizes returned
@@ -87,13 +89,15 @@ def main() -> None:
                     warm = dt
                     continue
                 samples.append(dt)
-                if warm >= 2.0:
+                if warm >= 2.0 and len(samples) >= 2:
                     break
         except Exception as e:  # a failed query must not hide the rest
             failures[name] = str(e).split("\n")[0][:200]
         if samples:
             samples.sort()
-            timings[name] = round(samples[len(samples) // 2], 3)
+            # lower median: n=3 -> true median, n=2 -> min (GC hiccups
+            # inflate, nothing deflates, so the lower sample is truer)
+            timings[name] = round(samples[(len(samples) - 1) // 2], 3)
             spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     # throughput: per-event scan cost through the hub projection on the

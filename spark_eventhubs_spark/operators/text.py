@@ -350,3 +350,166 @@ def oracle_heavy_hitters(phi_bp: int = HH_PHI_BP) -> str:
 SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM tk GROUP BY 1
 HAVING COUNT(*) > (SELECT CAST(n * {phi_bp} // 10000 AS BIGINT) FROM tot)"""
+
+
+# ---- TF-IDF / BM25 (deterministic integer scoring) ----
+#
+# Both scorers quantize the one irrational quantity (ln of a
+# df-ratio) to an e3 integer ONCE per term, then do all remaining
+# arithmetic in exact int64 (integer div truncation is identical in
+# Spark and DuckDB for positives), so ranking ties and hashes can
+# never drift between engines. BM25 constants k1=1.2, b=0.75 are
+# folded into the integer formula as /10 rationals.
+
+BM25_QUERY = ["spark", "join", "window"]  # fixed demo query (catalog determinism)
+
+
+def tfidf_top_terms(df: DataFrame, top_n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document top-N terms by TF-IDF (score_e3 =
+    tf * floor(1000 * ln(D/df))).
+
+    Scale: one shuffle builds per-doc term counts (postings); term
+    document-frequencies are an aggregation OF that frame (vocabulary
+    rows only — natural-language vocabularies are millions of rows, so
+    the df side joins back on the term key as a normal shuffle join;
+    Catalyst broadcasts it when small). The per-doc top-N is a window
+    over the doc key, carrying only (doc, term, score)."""
+    from pyspark.sql import Window
+
+    d_total = df.count()
+    tf = (
+        df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_e3 = F.floor(F.lit(1000.0) * F.log(F.lit(float(d_total)) / F.col("df"))).cast("long")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e3").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq.select("term", idf_e3.alias("idf_e3")), "term")
+        .select(
+            "doc_id", "term",
+            (F.col("tf") * F.col("idf_e3")).cast("long").alias("score_e3"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )
+
+
+def oracle_tfidf_top_terms(top_n: int = 3) -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH tf AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+), dfc AS (
+  SELECT term, COUNT(*) AS df,
+    CAST(FLOOR(1000.0 * ln((SELECT COUNT(*) FROM documents) / df)) AS BIGINT) AS idf_e3
+  FROM tfc GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term, CAST(t.tf * d.idf_e3 AS BIGINT) AS score_e3,
+    CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+         ORDER BY t.tf * d.idf_e3 DESC, t.term ASC) AS BIGINT) AS rank
+  FROM tfc t JOIN dfc d USING (term)
+)
+SELECT doc_id, term, score_e3, rank FROM scored WHERE rank <= {top_n}"""
+
+
+def bm25_topk(
+    df: DataFrame, query_terms: list | None = None, k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a fixed bag-of-words query.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    k1=1.2, b=0.75, idf = ln((D - df + .5)/(df + .5) + 1) quantized to
+    e3, avgdl kept as the exact integer avgdl_e3 = 1000*T // D; each
+    term contribution is then ONE int64 division
+    (idf_e3*tf*22*avgdl_e3) // (10*avgdl_e3*tf + 3*avgdl_e3 + 9000*dl)
+    and the doc score an integer sum — bit-identical across engines.
+
+    Scale: the token stream is filtered to the query terms BEFORE any
+    shuffle, so the groupBy carries only the query's postings lists
+    (IN-filter pushes into the scan); corpus stats (D, T, per-term df)
+    are three scalar-sized aggregations; top-k is TakeOrdered. The
+    full corpus is never shuffled — this is the inverted-index access
+    pattern expressed as a filtered scan."""
+    import math
+
+    q = sorted(set(query_terms if query_terms is not None else BM25_QUERY))
+    stats = df.select(
+        F.count("*").alias("d"),
+        F.sum(F.size(tokens_col(F.col(text_col)))).alias("t"),
+    ).collect()[0]
+    d_total, t_total = int(stats["d"]), int(stats["t"])
+    avgdl_e3 = (1000 * t_total) // d_total
+
+    toks = df.select(
+        "doc_id",
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).where(F.col("term").isin(q))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+
+    dfreq = {
+        r["term"]: int(r["n"])
+        for r in tf.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    if not dfreq:  # no query term occurs anywhere
+        return tf.select(
+            F.col("doc_id"), F.lit(0).cast("long").alias("score_e3")
+        ).limit(0)
+    idf_e3 = {
+        t: math.floor(1000.0 * math.log((d_total - n + 0.5) / (n + 0.5) + 1.0))
+        for t, n in dfreq.items()
+    }
+    idf_col = F.create_map(
+        *[F.lit(x) for t in sorted(idf_e3) for x in (t, idf_e3[t])]
+    )[F.col("term")].cast("long")
+    contrib = F.expr(
+        f"(idf_e3 * tf * 22 * {avgdl_e3}) div "
+        f"(10 * {avgdl_e3} * tf + 3 * {avgdl_e3} + 9000 * dl)"
+    )
+    return (
+        tf.withColumn("idf_e3", idf_col)
+        .select("doc_id", contrib.cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("score_e3"))
+        .orderBy(F.col("score_e3").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def oracle_bm25_topk(query_terms: list | None = None, k: int = 10) -> str:
+    q = sorted(set(query_terms if query_terms is not None else BM25_QUERY))
+    q_sql = ", ".join(f"'{t}'" for t in q)
+    toks = _oracle_tokens("text")
+    return f"""WITH stats AS (
+  SELECT COUNT(*) AS d_total,
+         SUM(len({toks})) AS t_total,
+         CAST(1000 * SUM(len({toks})) // COUNT(*) AS BIGINT) AS avgdl_e3
+  FROM documents
+), tk AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl, unnest({toks}) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk
+  WHERE term IN ({q_sql}) GROUP BY 1, 2, 3
+), dfc AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), idf AS (
+  SELECT term,
+    CAST(FLOOR(1000.0 * ln(((SELECT d_total FROM stats) - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT) AS idf_e3
+  FROM dfc
+), contrib AS (
+  SELECT t.doc_id,
+    (i.idf_e3 * t.tf * 22 * s.avgdl_e3)
+      // (10 * s.avgdl_e3 * t.tf + 3 * s.avgdl_e3 + 9000 * t.dl) AS c
+  FROM tf t JOIN idf i USING (term), stats s
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e3
+FROM contrib GROUP BY 1
+ORDER BY score_e3 DESC, doc_id ASC
+LIMIT {k}"""

@@ -1601,6 +1601,25 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_tfidf_top_terms", T.oracle_tfidf_top_terms())
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms with e3-quantized idf so the
+    ranking is integer-deterministic across engines. Scale: one
+    postings shuffle + a vocabulary-sized term join + per-doc window
+    (operators/text.py:tfidf_top_terms)."""
+    return T.tfidf_top_terms(_table(spark, sf_dir, "documents"))
+
+
+@register("text_bm25_topk", T.oracle_bm25_topk())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed bag-of-words query, scored in
+    exact int64 after one e3 idf quantization per term. Scale: the
+    IN-filter on query terms prunes the token stream before any
+    shuffle — only the query's postings move; corpus stats are scalar
+    aggregations (operators/text.py:bm25_topk)."""
+    return T.bm25_topk(_table(spark, sf_dir, "documents"))
+
+
 @register("text_heavy_hitters", T.oracle_heavy_hitters())
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (tokens above 0.2% of total token

@@ -208,3 +208,47 @@ def test_heavy_hitters_exact_vs_full_groupby(spark):
     for tok, cnt in want:
         if cnt > total / (k + 1):
             assert tok in cand_set
+
+
+def test_tfidf_top_terms_shape_and_ranks(spark):
+    from spark_eventhubs_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = tfidf_top_terms(docs).collect()
+    n_docs = docs.count()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == n_docs
+    for rows in by_doc.values():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+        # scores non-increasing with rank
+        by_rank = sorted(rows, key=lambda r: r["rank"])
+        scores = [r["score_e3"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topk_properties(spark):
+    """Top-k docs must each contain >= 1 query term, scores strictly
+    ordered by (score desc, doc_id asc), and a query of absent terms
+    returns empty."""
+    from pyspark.sql import functions as F
+
+    from spark_eventhubs_spark.operators.text import BM25_QUERY, bm25_topk, tokens_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = bm25_topk(docs).collect()
+    assert 0 < len(out) <= 10
+    keys = [(-r["score_e3"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    hit_ids = [r["doc_id"] for r in out]
+    with_term = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+        ).where(F.col("t").isin(BM25_QUERY)).select("doc_id").distinct().collect()
+    }
+    assert set(hit_ids) <= with_term
+
+    assert bm25_topk(docs, query_terms=["zzz_not_a_token"]).count() == 0
