@@ -124,7 +124,7 @@ def main() -> None:
 
     _scan_query().collect()  # warm
     scan_s = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _scan_query().collect()
         dt = time.time() - t0

@@ -28,6 +28,10 @@ sessionization operators):
   ``applyInPandasWithState`` (state = last left-side event time): the
   streaming twin of the batch ``hub_asof_join`` catalog query, which
   the reference has no native operator for either.
+- :func:`streaming_heavy_hitters` — running top-N values per group
+  with a bounded Misra-Gries summary as the state (the streaming twin
+  of the batch ``text_heavy_hitters``): O(groups * k) state forever,
+  vs O(vocabulary) for a naive count stream.
 
 Scale notes: all three shuffle once on their key and keep state in the
 state store — state size is O(distinct keys in horizon), bounded by
@@ -46,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -266,5 +271,81 @@ def streaming_asof_join(
         outputStructType=_ASOF_OUT_SCHEMA,
         stateStructType=_ASOF_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_HH_STATE_SCHEMA = StructType(
+    [
+        StructField("toks", ArrayType(StringType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+_HH_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("token", StringType()),
+        StructField("cnt_lb", LongType()),
+        StructField("rank", LongType()),
+    ]
+)
+
+
+def _hh_update_fn(k: int, top_n: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (etype,) = key
+        counters: dict = {}
+        if state.exists:
+            toks, cnts = state.get
+            counters = dict(zip(toks, cnts))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        state.update((list(counters.keys()), [int(v) for v in counters.values()]))
+        head = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        yield pd.DataFrame(
+            [(etype, t, int(c), i + 1) for i, (t, c) in enumerate(head)],
+            columns=["event_type", "token", "cnt_lb", "rank"],
+        ).astype({"cnt_lb": "int64", "rank": "int64"})
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    sdf: DataFrame,
+    value_key: str = "k",
+    k: int = 64,
+    top_n: int = 5,
+) -> DataFrame:
+    """Running top-``top_n`` property values per event type — the
+    streaming twin of the batch ``text_heavy_hitters`` operator, with
+    the SAME Misra-Gries summary as its per-group state.
+
+    State per group is a bounded (<= ~2k entries) token->lower-bound
+    map carried in the state store and compressed by the
+    mergeable-summaries rule whenever it exceeds ``k`` — so state
+    stays O(groups * k) forever, no matter how large the value
+    vocabulary grows (a naive groupBy(value).count() stream holds
+    O(vocabulary) state). Every trigger emits the group's current head
+    with its lower-bound count; the MG guarantee carries over: any
+    value whose true count in the group exceeds N_group/(k+1) is
+    present in the summary.
+    """
+    keyed = sdf.select(
+        F.col("properties").getItem("event_type").alias("event_type"),
+        F.col("properties").getItem(value_key).alias("token"),
+    ).where(F.col("token").isNotNull())
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _hh_update_fn(k, top_n),
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -234,3 +234,74 @@ def test_streaming_corpus_clean_pipeline(spark, hub_dir, tmp_path):
         r["partition"]: (r["n_docs"], r["total_tokens"]) for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_streaming_heavy_hitters_mg_guarantee(spark, hub_dir, tmp_path):
+    """After draining the stream in several triggers, the FINAL summary
+    per event type must (a) rank by lower-bound count, (b) never claim
+    a count above the true one, and (c) contain every value whose true
+    count clears the Misra-Gries N/(k+1) bar."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_heavy_hitters
+
+    K = 64
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", hub_dir)
+        .option("eventhubs.maxEventsPerTrigger", "300")
+        .option("eventhubs.consumerGroup", "hh_test")
+        .load()
+    )
+    out = streaming_heavy_hitters(sdf, k=K, top_n=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chh"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # keep only each group's final emission (max cnt_lb per token+rank
+    # emission set = the last trigger's rows for that group)
+    rows = spark.sql(
+        """SELECT event_type, token, cnt_lb, rank FROM (
+             SELECT *, MAX(cnt_lb) OVER (PARTITION BY event_type) AS grp_max,
+                    MAX(cnt_lb) OVER (PARTITION BY event_type, token) AS tok_max
+             FROM hh_out)
+           WHERE cnt_lb = tok_max"""
+    ).collect()
+    final = {}
+    for r in rows:
+        final.setdefault(r["event_type"], {})[r["token"]] = r["cnt_lb"]
+    assert final
+
+    batch = (
+        spark.read.format("eventhubs").option("path", hub_dir).load()
+        .select(
+            F.col("properties").getItem("event_type").alias("event_type"),
+            F.col("properties").getItem("k").alias("token"),
+        )
+        .groupBy("event_type", "token").count().collect()
+    )
+    true_counts, group_n = {}, {}
+    for r in batch:
+        true_counts[(r["event_type"], r["token"])] = r["count"]
+        group_n[r["event_type"]] = group_n.get(r["event_type"], 0) + r["count"]
+
+    for etype, toks in final.items():
+        for tok, lb in toks.items():
+            assert lb <= true_counts[(etype, tok)]  # lower bound, never over
+    # MG presence guarantee needs the FULL final summary, which the
+    # top-5 emission truncates; check it on the values that are so hot
+    # they must be in any top-5: count > N/(k+1) AND within the 5
+    # largest true counts of the group
+    for etype, n in group_n.items():
+        bar = n / (K + 1)
+        top5_true = sorted(
+            (c for (e, _), c in true_counts.items() if e == etype), reverse=True
+        )[:5]
+        floor5 = min(top5_true) if len(top5_true) == 5 else 0
+        for (e, tok), c in true_counts.items():
+            if e == etype and c > max(bar, floor5):
+                assert tok in final[etype], (etype, tok, c)
