@@ -113,6 +113,15 @@ def main() -> None:
     n_fp = winnowing_fingerprints(docs, fast=True).count()
     report("winnowing_fast_100k_docs", n_fp, time.time() - t0)
 
+    from spark_eventhubs_spark.operators.text import bm25_topk, heavy_hitters
+    t0 = time.time()
+    heavy_hitters(docs).count()
+    report("heavy_hitters_100k_docs", n_docs, time.time() - t0)
+
+    t0 = time.time()
+    bm25_topk(docs, query_terms=["spark", "shuffle", "corpus"]).count()
+    report("bm25_100k_docs", n_docs, time.time() - t0)
+
     spark.stop()
 
 
