@@ -994,3 +994,200 @@ def ivf_append_index(
         .partitionBy("cell_id")
         .parquet(f"{index_dir}/vectors")
     )
+
+
+# ---- product quantization (PQ) ----
+
+PQ_M = 16          # subspaces (dim 64 -> 4 floats each)
+PQ_NCENT = 16      # centroids per subspace (4-bit codes)
+PQ_SHORTLIST = 100 # ADC shortlist size before exact re-rank
+
+
+def _pq_partials_fn(codebooks, vec_col):
+    """mapInPandas kernel for PQ training: per Arrow batch, assign every
+    row's m subvectors to their nearest (L2) subspace centroid and emit
+    per-(subspace, centroid) ``(n, sum_vec)`` partials — the same
+    driver-merge treeAggregate shape as :func:`_cell_partials_fn`, so
+    one job trains all m codebooks simultaneously. Output is bounded by
+    m * n_centroids rows per batch."""
+    import numpy as np
+
+    CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(CBS)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d_sub = X.shape[1] // m
+            out_s, out_c, out_n, out_sum = [], [], [], []
+            for s in range(m):
+                Xs = X[:, s * d_sub:(s + 1) * d_sub]
+                d2 = ((Xs[:, None, :] - CBS[s][None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)  # ties -> lowest centroid id
+                for c in np.unique(a):
+                    mask = a == c
+                    out_s.append(s)
+                    out_c.append(int(c))
+                    out_n.append(int(mask.sum()))
+                    out_sum.append(Xs[mask].sum(axis=0))
+            yield pd.DataFrame({"s": out_s, "c": out_c, "n": out_n, "v": out_sum})
+
+    return fn
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = PQ_M,
+    n_centroids: int = PQ_NCENT,
+    iters: int = 1,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_rows: list | None = None,
+) -> list:
+    """Train PQ codebooks: split each vector into ``m`` subvectors and
+    run per-subspace k-means, all subspaces in ONE distributed pass per
+    Lloyd iteration (the :func:`_pq_partials_fn` kernel + driver
+    merge). Seeds are the first ``n_centroids`` vectors' subvectors
+    (deterministic). Returns ``codebooks[m][n_centroids][dim//m]``.
+
+    Scale: identical properties to :func:`kmeans_refine_centroids` —
+    no vector shuffle, per-iteration traffic is m * n_centroids *
+    (dim/m) partial sums = dim * n_centroids doubles total."""
+    import numpy as np
+
+    if seed_rows is None:
+        seed_rows = sorted(
+            df.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .collect(),
+            key=lambda r: r["cid"],
+        )
+    d_sub = dim // m
+    seeds = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in seed_rows])
+    codebooks = [seeds[:, s * d_sub:(s + 1) * d_sub].copy() for s in range(m)]
+    base = df.select(F.col(vec_col))
+    if iters > 1:
+        base = base.persist()
+    try:
+        for _ in range(iters):
+            partials = base.mapInPandas(
+                _pq_partials_fn(codebooks, vec_col),
+                schema="s long, c long, n long, v array<double>",
+            ).collect()
+            acc: dict = {}
+            for r in partials:
+                key = (r["s"], r["c"])
+                n, v = acc.get(key, (0, None))
+                vv = np.asarray(r["v"], dtype=np.float64)
+                acc[key] = (n + r["n"], vv if v is None else v + vv)
+            for (s, c), (n, v) in acc.items():
+                codebooks[s][c] = v / n  # empty cells keep their seed
+    finally:
+        if iters > 1:
+            base.unpersist()
+    return [cb.tolist() for cb in codebooks]
+
+
+def _pq_adc_fn(codebooks, qvec, query_vec_id, id_col, vec_col):
+    """mapInPandas kernel: encode each row (nearest subspace centroids)
+    and score it against the query via asymmetric distance computation
+    — two lookup tables per subspace (centroid·q_sub dots and centroid
+    norms²), so the cosine against the RECONSTRUCTION costs m table
+    lookups per row, never a dim-wide dot. |recon|² = sum of subspace
+    centroid norms² exactly (concatenation), which is what makes the
+    LUT trick lossless vs scoring the reconstruction directly."""
+    import numpy as np
+
+    CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(CBS)
+    qv = np.asarray(qvec, dtype=np.float64)
+    qn = _norm_py(qvec)
+
+    def fn(batches):
+        import pandas as pd
+
+        d_sub = len(qv) // m
+        lut_dot = [CBS[s] @ qv[s * d_sub:(s + 1) * d_sub] for s in range(m)]
+        lut_n2 = [(CBS[s] ** 2).sum(axis=1) for s in range(m)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = np.zeros(len(X))
+            n2 = np.zeros(len(X))
+            for s in range(m):
+                Xs = X[:, s * d_sub:(s + 1) * d_sub]
+                d2 = ((Xs[:, None, :] - CBS[s][None, :, :]) ** 2).sum(axis=2)
+                code = d2.argmin(axis=1)
+                dots += lut_dot[s][code]
+                n2 += lut_n2[s][code]
+            rn = np.sqrt(n2)
+            score = np.where(rn > 0, dots / np.where(rn > 0, rn * qn, 1.0), -2.0)
+            keep = pdf[id_col].to_numpy() != query_vec_id
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[keep],
+                "adc_e6": np.floor(score[keep] * 1e6).astype(np.int64),
+            })
+
+    return fn
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = PQ_SHORTLIST,
+    m: int = PQ_M,
+    n_centroids: int = PQ_NCENT,
+    iters: int = 1,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-compressed ANN with exact re-rank: train codebooks, score the
+    whole corpus by ADC lookups (the compressed-domain pass — at scale
+    this reads m-byte codes, not dim*4-byte vectors), take a
+    ``shortlist`` of candidates, then re-rank ONLY the shortlist with
+    exact cosine and return the top ``k``.
+
+    This is the standard PQ serving architecture (shortlist quality is
+    what matters, not raw PQ recall); exact scores come from the same
+    sequential-fold arithmetic as :func:`brute_force_topk`, so the
+    returned score_e6 values are directly comparable to brute force.
+    Scale: codebook + query in task closures (no join), shortlist is a
+    TakeOrdered of integer scores, re-rank touches ``shortlist`` rows."""
+    rows = (
+        df.where((F.col(id_col) < n_centroids) | (F.col(id_col) == query_vec_id))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    seeds = sorted((r for r in rows if r["cid"] < n_centroids), key=lambda r: r["cid"])
+    qvec = next([float(x) for x in r["cvec"]] for r in rows if r["cid"] == query_vec_id)
+    codebooks = pq_train(
+        df, m, n_centroids, iters, dim, id_col, vec_col, seed_rows=seeds
+    )
+    adc = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _pq_adc_fn(codebooks, qvec, query_vec_id, id_col, vec_col),
+        schema=f"{id_col} long, adc_e6 long",
+    )
+    short = (
+        adc.orderBy(F.col("adc_e6").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    rerank = (
+        df.join(F.broadcast(short), id_col, "semi")
+        .select(
+            F.col(id_col),
+            F.floor(cosine_col(F.col(vec_col), qcol, dim) * F.lit(1e6))
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    return rerank.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(k)

@@ -1923,6 +1923,31 @@ def p2_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embed_pq_rerank",
+    "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+)
+def embed_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank: 4-bit-per-subspace
+    codes scored by ADC lookup tables (the compressed-domain pass — at
+    100 TB the serving scan reads 16-byte codes instead of 256-byte
+    vectors), a 100-candidate shortlist, then exact cosine re-rank of
+    the shortlist only.
+
+    PQ codebooks are data-dependent floats, so the query emits its
+    VERIFIABLE CONTRACT: recall@10 of the re-ranked result vs exact
+    brute force >= 0.6 (measured 0.9 at sf0.1; the shortlist is what
+    carries recall, not raw PQ ranking). Oracle = the constant TRUE
+    row (operators/similarity.py:pq_topk_rerank)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    pq = S.pq_topk_rerank(emb)
+    brute = S.brute_force_topk(emb).select("vec_id")
+    return pq.join(brute, "vec_id", "semi").agg(
+        F.lit(10).cast("long").alias("k"),
+        (F.count("*") >= F.lit(6)).alias("recall_ok"),
+    )
+
+
 # refined means are data-dependent floats — no SQL oracle (rows-only);
 # recall vs brute force asserted in tests
 @register(

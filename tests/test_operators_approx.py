@@ -167,3 +167,25 @@ def test_ivf_append_matches_full_rebuild(spark, tmp_path):
     want = sorted(map(key, S.ivf_query_indexed(
         spark, full_idx, qvec, k=10, n_probe=3, exclude_id=0).collect()))
     assert got == want
+
+
+def test_pq_rerank_recall_and_score_parity(spark):
+    """The PQ shortlist + exact re-rank must (a) recover most of the
+    true top-10, (b) report scores identical to brute force for every
+    id it returns (re-rank is exact), and (c) train deterministic
+    codebooks (same data -> same codebooks)."""
+    emb = _embeddings(spark)
+    exact = {
+        r["vec_id"]: r["score_e6"]
+        for r in S.brute_force_topk(emb, 0, k=emb.count()).collect()
+    }
+    got = S.pq_topk_rerank(emb, 0, 10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert exact[r["vec_id"]] == r["score_e6"]
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert len({v for v, _ in top10} & {r["vec_id"] for r in got}) >= 6
+
+    cb1 = S.pq_train(emb)
+    cb2 = S.pq_train(emb)
+    assert cb1 == cb2
