@@ -1601,6 +1601,24 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from spark_eventhubs_spark.operators.search import oracle_hybrid_rrf as _orrf
+
+
+@register("search_hybrid_rrf", _orrf())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 text top-20 fused with cosine vector
+    top-20 by reciprocal-rank fusion, top-10 out — the standard RAG
+    serving recipe as one deterministic integer plan. Scale: each leg
+    is its own TakeOrdered (postings-only shuffle / scan-side scoring
+    kernel); the fusion joins two 20-row frames
+    (operators/search.py:hybrid_rrf)."""
+    from spark_eventhubs_spark.operators.search import hybrid_rrf
+
+    return hybrid_rrf(
+        _table(spark, sf_dir, "documents"), _table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("text_tfidf_top_terms", T.oracle_tfidf_top_terms())
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms with e3-quantized idf so the
