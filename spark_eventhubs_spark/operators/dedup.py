@@ -547,7 +547,9 @@ def simhash(
             if not flat:
                 yield pd.DataFrame({"doc_id": ids[:0], "simhash": lens[:0]})
                 continue
-            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            # hash-based interning: ~10x cheaper than sort-based
+            # np.unique on object dtype, same values downstream
+            inv, uniq = pd.factorize(np.array(flat, dtype=object), sort=False)
             uh = np.fromiter(
                 (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) for u in uniq),
                 dtype=np.int64, count=len(uniq),
