@@ -370,14 +370,16 @@ class EventHubsConf(Mapping[str, str]):
     def dynamic_partition_discovery(self) -> bool:
         return self.get(DYNAMIC_PARTITION_DISCOVERY_KEY, "false").lower() == "true"
 
-    # ---- AAD auth surface (conf-validation parity only) ----
+    # ---- AAD auth surface ----
     # The reference authenticates via a user-supplied
     # AadAuthenticationCallback class shipped in the conf
     # (utils/AadAuthenticationCallback.scala:1,
-    # docs/use-aad-authentication-to-connect-eventhubs.md). A
-    # file-backed hub has no auth handshake, so only the conf surface
-    # and its validation rules are reproduced — the callback is never
-    # invoked.
+    # docs/use-aad-authentication-to-connect-eventhubs.md). The conf
+    # surface and validation live here; the execution path — class
+    # resolution, constructor selection, token acquisition at
+    # connection-open time — is spark_eventhubs_spark/auth.py, invoked
+    # by read_eventhubs and EventHubsSource exactly where the
+    # reference's ClientConnectionPool invokes it.
     def set_use_aad_auth(self, b: bool) -> "EventHubsConf":
         return self.set(USE_AAD_AUTH_KEY, "true" if b else "false")
 

@@ -99,6 +99,13 @@ def read_eventhubs(
 ) -> DataFrame:
     """``spark.read.format("eventhubs")`` equivalent: bounded 9-column
     DataFrame between the conf's starting and ending positions."""
+    # AAD callback runs at client creation, before any scan is planned
+    # (ref client/ClientConnectionPool.scala:63-80) — a bad class path
+    # or failing token acquisition errors HERE, as it would for a real
+    # hub. The file-backed transport needs no token afterwards.
+    from spark_eventhubs_spark.auth import acquire_connection_token
+
+    acquire_connection_token(conf)
     if hub is None:
         from spark_eventhubs_spark.connstr import ConnectionStringBuilder
 

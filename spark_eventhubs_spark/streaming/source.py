@@ -71,6 +71,11 @@ class EventHubsSource:
         self.spark = spark
         self.conf = conf
         self.hub = hub
+        # AAD callback executes at client creation, exactly where the
+        # reference invokes it (client/ClientConnectionPool.scala:63-80)
+        from spark_eventhubs_spark.auth import acquire_connection_token
+
+        acquire_connection_token(conf)
         self.client = SimulatedClient(hub)
         self.metadata_path = metadata_path
         self.fail_on_data_loss = fail_on_data_loss
