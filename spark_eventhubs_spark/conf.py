@@ -138,7 +138,7 @@ class EventHubsConf(Mapping[str, str]):
         self._map: Dict[str, str] = {}  # lowercased key -> value
         self._names: Dict[str, str] = {}  # lowercased key -> original casing
         if connection_string is not None:
-            self.set(CONNECTION_STRING_KEY, connection_string)
+            self.set_connection_string(connection_string)
 
     # ---- raw map API ----
     def set(self, key: str, value) -> "EventHubsConf":
@@ -196,11 +196,22 @@ class EventHubsConf(Mapping[str, str]):
 
     # ---- typed setters/getters ----
     def set_connection_string(self, s: str) -> "EventHubsConf":
-        return self.set(CONNECTION_STRING_KEY, s)
+        """Stores the ENCRYPTED form, like the reference's
+        setConnectionString (EventHubsConf.scala:137-139,
+        EventHubsUtils.scala:187-192) — the secret never sits in
+        plaintext inside option maps handed to Spark."""
+        from spark_eventhubs_spark.crypto import encrypt
+
+        return self.set(CONNECTION_STRING_KEY, encrypt(s))
 
     @property
     def connection_string(self) -> Optional[str]:
-        return self.get(CONNECTION_STRING_KEY)
+        """Decrypts on read (EventHubsConf.scala:141-144); a plaintext
+        value (hand-written option map, pre-encryption conf) is
+        returned unchanged — see crypto.decrypt_or_plaintext."""
+        from spark_eventhubs_spark.crypto import decrypt_or_plaintext
+
+        return decrypt_or_plaintext(self.get(CONNECTION_STRING_KEY))
 
     @property
     def name(self) -> Optional[str]:

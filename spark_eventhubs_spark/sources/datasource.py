@@ -222,8 +222,12 @@ def _hub_dir_from_options(options) -> str:
     cs = options.get("eventhubs.connectionstring")
     if cs:
         from spark_eventhubs_spark.connstr import ConnectionStringBuilder
+        from spark_eventhubs_spark.crypto import decrypt_or_plaintext
 
-        b = ConnectionStringBuilder.parse(cs)
+        # option maps built from EventHubsConf.to_map() carry the
+        # encrypted form (the reference's toConf decrypt moment —
+        # EventHubsConf.scala:727-731)
+        b = ConnectionStringBuilder.parse(decrypt_or_plaintext(cs))
         root = (b.endpoint or "").removeprefix("file://")
         return os.path.join(root, b.entity_path or "events")
     raise ValueError(
