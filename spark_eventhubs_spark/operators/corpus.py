@@ -350,3 +350,73 @@ SELECT vec_id,
             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER))
        ELSE list_transform(embedding, x -> 0) END, ',') AS codes_str
 FROM s"""
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    target: int = 200,
+    alpha_pow: float = 0.5,
+) -> DataFrame:
+    """Dataset mixing with temperature-scaled source weights: sample a
+    ``target``-sized training mix where source s contributes
+    n_s = target * c_s^alpha / sum_t c_t^alpha rows (alpha < 1 upweights
+    small sources — the standard multilingual/multi-corpus mixing rule).
+
+    Determinism: weights are quantized once (w_e6 = floor(1e6 *
+    c_s^alpha) — sqrt is an exactly-rounded IEEE op in both engines),
+    quotas are exact integer division, and the rows filling each quota
+    are the stratum's md5-hash-ranked head (same construction as
+    :func:`stratified_sample`), so re-runs and engines agree bit-for-bit.
+
+    Scale: source counts are one map-side-combined aggregation
+    (|sources| rows), quotas are driver math on that tiny frame, and
+    the selection is one shuffle on the source key + a rank window —
+    identical topology to stratified sampling. At extreme skew the
+    per-source rank swaps for per-partition partial top-k.
+    """
+    if alpha_pow != 0.5:
+        raise ValueError("alpha_pow=0.5 (sqrt) is the supported temperature")
+    import math
+
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    w_e6 = {s: math.floor(1e6 * math.sqrt(c)) for s, c in counts.items()}
+    tw = sum(w_e6.values())
+    quota = {s: (target * w) // tw for s, w in w_e6.items()}
+    quota_col = F.create_map(
+        *[F.lit(x) for s in sorted(quota) for x in (s, quota[s])]
+    )[F.col(source_col)]
+
+    order = md5_hash64(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(source_col).orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        df.select(F.col("doc_id"), F.col(source_col), order.alias("h"))
+        .withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sel_rank") <= quota_col)
+        .select("doc_id", source_col, "sel_rank")
+    )
+
+
+def oracle_temperature_mix(source_col: str = "source", target: int = 200) -> str:
+    h = oracle_md5_hash64("('mix|' || CAST(doc_id AS VARCHAR))")
+    return f"""WITH c AS (
+  SELECT {source_col} AS s, COUNT(*) AS c FROM documents GROUP BY 1
+), w AS (
+  SELECT s, CAST(FLOOR(1000000 * sqrt(c)) AS BIGINT) AS w_e6 FROM c
+), quota AS (
+  SELECT s, CAST(({target} * w_e6) // (SELECT SUM(w_e6) FROM w) AS BIGINT) AS n_s
+  FROM w
+), ranked AS (
+  SELECT doc_id, {source_col},
+         CAST(ROW_NUMBER() OVER (PARTITION BY {source_col}
+                                 ORDER BY {h}, doc_id) AS BIGINT) AS sel_rank
+  FROM documents
+)
+SELECT r.doc_id, r.{source_col}, r.sel_rank
+FROM ranked r JOIN quota q ON r.{source_col} = q.s
+WHERE r.sel_rank <= q.n_s"""

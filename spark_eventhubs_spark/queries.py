@@ -2000,6 +2000,16 @@ def embed_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-management operators (operators/corpus.py)
 # =====================================================================
 
+@register("corpus_temperature_mix", C.oracle_temperature_mix())
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixing (n_s ∝ sqrt(source count),
+    quota-exact, hash-ranked selection): the standard multi-corpus
+    mixing rule as one deterministic plan. Scale: a |sources|-row
+    count agg + one shuffle on the source key
+    (operators/corpus.py:temperature_mix)."""
+    return C.temperature_mix(_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_hash_split", C.oracle_hash_split())
 def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash split (80/10/10 in basis

@@ -252,3 +252,31 @@ def test_bm25_topk_properties(spark):
     assert set(hit_ids) <= with_term
 
     assert bm25_topk(docs, query_terms=["zzz_not_a_token"]).count() == 0
+
+
+def test_temperature_mix_quota_math(spark, docs):
+    """Quota sizes must follow the sqrt-temperature rule exactly, the
+    selection must be the per-source hash-ranked head, and re-runs must
+    return identical rows."""
+    import math
+
+    from spark_eventhubs_spark.operators.corpus import temperature_mix
+
+    out = temperature_mix(docs, target=200).collect()
+    counts = {
+        r["source"]: r["c"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    w = {s: math.floor(1e6 * math.sqrt(c)) for s, c in counts.items()}
+    tw = sum(w.values())
+    quota = {s: (200 * ws) // tw for s, ws in w.items()}
+
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["sel_rank"])
+    for s, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, quota[s] + 1))
+    assert sum(len(v) for v in per_src.values()) == sum(quota.values()) <= 200
+
+    again = temperature_mix(docs, target=200).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
