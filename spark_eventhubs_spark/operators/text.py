@@ -430,12 +430,12 @@ def bm25_topk(
     (idf_e3*tf*22*avgdl_e3) // (10*avgdl_e3*tf + 3*avgdl_e3 + 9000*dl)
     and the doc score an integer sum — bit-identical across engines.
 
-    Scale: the token stream is filtered to the query terms BEFORE any
-    shuffle, so the groupBy carries only the query's postings lists
-    (IN-filter pushes into the scan); corpus stats (D, T, per-term df)
-    are three scalar-sized aggregations; top-k is TakeOrdered. The
-    full corpus is never shuffled — this is the inverted-index access
-    pattern expressed as a filtered scan."""
+    Scale: the token ARRAY is filtered to the query terms inside the
+    scan stage, before explode — non-query tokens are never generated,
+    let alone shuffled — so the groupBy carries only the query's
+    postings lists; corpus stats (D, T, per-term df) are scalar-sized
+    aggregations; top-k is TakeOrdered. The full corpus is never
+    shuffled — the inverted-index access pattern as a filtered scan."""
     import math
 
     q = sorted(set(query_terms if query_terms is not None else BM25_QUERY))
@@ -446,11 +446,12 @@ def bm25_topk(
     d_total, t_total = int(stats["d"]), int(stats["t"])
     avgdl_e3 = (1000 * t_total) // d_total
 
+    all_toks = tokens_col(F.col(text_col))
     toks = df.select(
         "doc_id",
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
-        F.explode(tokens_col(F.col(text_col))).alias("term"),
-    ).where(F.col("term").isin(q))
+        F.size(all_toks).cast("long").alias("dl"),
+        F.explode(F.filter(all_toks, lambda t: t.isin(q))).alias("term"),
+    )
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
 
     dfreq = {
