@@ -62,7 +62,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
+        # Local-mode sessions accumulate broadcast blocks and shuffle
+        # registrations that Spark's ContextCleaner only reclaims on
+        # JVM GC — which a big mostly-idle heap rarely runs, so
+        # late-catalog queries pay scheduling overhead the early ones
+        # didn't. Forcing a GC every few queries keeps the measurement
+        # uniform across catalog position (per-query cost ~50 ms).
+        if qi % 8 == 0:
+            spark.sparkContext._jvm.System.gc()
         # Variance control: run 0 is an untimed warmup (codegen/analysis
         # dominates sub-second queries), then 3 timed runs for fast
         # queries / 2 for expensive ones (>= 2 s warmup — a third run
