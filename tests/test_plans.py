@@ -199,3 +199,43 @@ def test_corpus_scans_prune_to_needed_columns(spark):
         assert "lang" not in rs and "n_chars" not in rs, (q, rs)
         simple = _explain(Q.queries()[q](spark, SF_DIR), "simple")
         assert "Exchange" not in simple
+
+
+def test_bm25_filters_tokens_before_explode(spark):
+    """The query-term filter must sit INSIDE the generate's input (an
+    array filter evaluated in the scan stage), so non-query tokens are
+    never produced as rows — the inverted-index access property."""
+    plan = _explain(Q.queries()["text_bm25_topk"](spark, SF_DIR), "extended")
+    flat = plan.replace("\n", " ").replace(" ", "")
+    assert "explode(filter(" in flat
+    # and the final top-k is a TakeOrdered, not a global sort
+    simple = _explain(Q.queries()["text_bm25_topk"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """Pass 2's semi-join against the Misra-Gries candidate set must be
+    a broadcast join — the full vocabulary never shuffles."""
+    from spark_eventhubs_spark.operators.text import heavy_hitters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _explain(heavy_hitters(docs))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_legs_are_topk(spark):
+    """Both retrieval legs end in TakeOrdered top-k before the fusion
+    join — the fusion only ever sees two k-row frames."""
+    plan = _explain(Q.queries()["search_hybrid_rrf"](spark, SF_DIR), "simple")
+    assert plan.count("TakeOrderedAndProject") >= 3  # two legs + final
+
+
+def test_temperature_mix_single_shuffle_on_source(spark):
+    """One exchange on the source key feeds the rank window; no join
+    for the quota (it's a literal map)."""
+    plan = _explain(Q.queries()["corpus_temperature_mix"](spark, SF_DIR))
+    # formatted mode prints each node in the tree AND in the detail list
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "Join" not in plan
