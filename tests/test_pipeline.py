@@ -166,3 +166,80 @@ def test_near_dup_components_chain_clusters_transitively(spark):
             for r in near_dup_components(df, threshold_bp=9200).collect()}
     assert comp == {10: 10, 11: 10, 12: 10}
     assert 99 not in comp
+
+
+def test_real_wav_decode_features(spark):
+    """audio_features must run a REAL PCM decode: features computed by
+    Spark over synthesized WAV payloads must equal independent numpy
+    math on the same samples."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from spark_eventhubs_spark.operators.multimodal import audio_features
+
+    def make_wav(seed, rate=8000, nf=400, nch=1):
+        rng = np.random.RandomState(seed)
+        samples = (rng.randint(-3000, 3000, nf * nch)).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue(), samples
+
+    payloads = {i: make_wav(i, nch=1 + i % 2) for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (p, _) in payloads.items()],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert len(got) == 4
+    for i, (_, samples) in payloads.items():
+        r = got[i]
+        assert r["n_channels"] == 1 + i % 2
+        assert r["sample_rate"] == 8000
+        assert r["n_frames"] * r["n_channels"] == len(samples)
+        acc = 0.0
+        for v in samples:
+            acc += float(v) * float(v)
+        want_rms = math.floor(math.sqrt(acc / len(samples)) * 1e6)
+        assert r["rms_e6"] == want_rms
+        assert r["duration_ms"] == (r["n_frames"] * 1000) // 8000
+
+
+def test_real_netpbm_decode_stats_and_resize(spark):
+    """image_stats must run a REAL pixel decode (P5 gray and P6 RGB,
+    comment-bearing headers included), and resize_netpbm must halve
+    dimensions with nearest-neighbor semantics."""
+    import numpy as np
+
+    from spark_eventhubs_spark.operators.multimodal import (
+        decode_netpbm,
+        image_stats,
+        resize_netpbm,
+    )
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (12, 10, 1)).astype("u1")
+    rgb = rng.randint(0, 256, (9, 16, 3)).astype("u1")
+    p5 = b"P5\n# a comment\n10 12\n255\n" + gray.tobytes()
+    p6 = b"P6\n16 9\n255\n" + rgb.tobytes()
+
+    df = spark.createDataFrame(
+        [(0, bytearray(p5)), (1, bytearray(p6))], "doc_id long, media binary"
+    )
+    got = {r["doc_id"]: r for r in image_stats(df).collect()}
+    for did, img, (w, h, ch) in [(0, gray, (10, 12, 1)), (1, rgb, (16, 9, 3))]:
+        r = got[did]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        flat = img.reshape(-1).astype("int64")
+        assert r["mean_e2"] == int(flat.sum()) * 100 // flat.size
+        assert (r["min_px"], r["max_px"]) == (int(flat.min()), int(flat.max()))
+
+    small = decode_netpbm(resize_netpbm(p6, factor=2))
+    assert small.shape == (5, 8, 3)
+    assert (small == rgb[::2, ::2, :]).all()
