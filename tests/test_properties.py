@@ -156,3 +156,65 @@ def test_poly_shingle_hashes_match_duckdb(texts):
         want.setdefault(doc_id, []).append(hp)
     want = {k: sorted(v) for k, v in want.items()}
     assert got == want
+
+
+# --- Misra-Gries summary guarantee (operators/text._mg_summary_fn) ---
+
+token_streams = st.lists(
+    st.lists(st.sampled_from([f"t{i}" for i in range(40)]), max_size=200),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(batches=token_streams, k=st.integers(2, 30))
+def test_mg_summary_superset_guarantee(batches, k):
+    """For ANY token stream, ANY batch split, and ANY summary size k,
+    the kernel's survivors must be a superset of every token whose
+    total count exceeds N/(k+1) — the Misra-Gries bound the two-pass
+    heavy-hitters operator relies on."""
+    import pandas as pd
+
+    from spark_eventhubs_spark.operators.text import _mg_summary_fn
+
+    fn = _mg_summary_fn(k, "token")
+    out = list(fn(pd.DataFrame({"token": b}) for b in batches))
+    survivors = {t for pdf in out for t in pdf["token"]}
+    assert len(survivors) <= 2 * k  # bounded memory
+
+    from collections import Counter
+
+    counts = Counter(t for b in batches for t in b)
+    n = sum(counts.values())
+    for tok, c in counts.items():
+        if c > n / (k + 1):
+            assert tok in survivors, (tok, c, n, k)
+
+
+# --- netpbm decode round-trip (operators/multimodal) ---
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+    comment=st.booleans(),
+)
+def test_netpbm_roundtrip(w, h, ch, seed, comment):
+    import numpy as np
+
+    from spark_eventhubs_spark.operators.multimodal import decode_netpbm
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, ch)).astype("u1")
+    magic = b"P5" if ch == 1 else b"P6"
+    hdr = b"%s\n" % magic
+    if comment:
+        hdr += b"# synthetic\n"
+    hdr += b"%d %d\n255\n" % (w, h)
+    got = decode_netpbm(hdr + img.tobytes())
+    assert got.shape == (h, w, ch)
+    assert (got == img).all()
