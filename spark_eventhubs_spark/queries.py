@@ -1445,6 +1445,61 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g2_cube_order_stats",
+    """SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+)
+def g2_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — the full
+    cross-tab ROLLUP can't express. Scale: one Expand (x4 grouping
+    sets, partial-aggregated map-side) + a single shuffle whose group
+    count is bounded by |status| x |priority|."""
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(_CENTS(F.col("o_totalprice"))).alias("revenue_c"),
+            F.count("*").alias("n_orders"),
+            F.grouping("o_orderstatus").alias("g_s"),
+            F.grouping("o_orderpriority").alias("g_p"),
+        )
+        .select(
+            F.when(F.col("g_s") == 1, "ALL").otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("g_p") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
+            "revenue_c",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "s2_unpivot_quality",
+    "WITH q AS (\n" + T.oracle_quality_score() + """
+)
+UNPIVOT q
+ON n_chars_m, n_tokens, punct_bp, stopword_bp, avg_token_len_bp
+INTO NAME metric VALUE value""",
+)
+def s2_unpivot_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the per-doc quality metrics widened by
+    text.quality_score turned into long-form (doc_id, metric, value)
+    rows — the feature-store layout model-training exports want.
+    Scale: unpivot is a narrow Expand (rows x n_metrics), no shuffle."""
+    q = T.quality_score(_table(spark, sf_dir, "documents"))
+    return q.unpivot(
+        ["doc_id"],
+        ["n_chars_m", "n_tokens", "punct_bp", "stopword_bp", "avg_token_len_bp"],
+        "metric",
+        "value",
+    )
+
+
+@register(
     "s1_customer_cohorts",
     """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
