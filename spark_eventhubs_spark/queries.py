@@ -2244,6 +2244,55 @@ def w2_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w3_price_rank_profile",
+    """WITH t AS (
+  SELECT o_orderpriority AS priority,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+    CAST(RANK() OVER (PARTITION BY o_orderpriority
+                      ORDER BY ROUND(o_totalprice * 100)) AS BIGINT) AS rnk,
+    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+    o_orderkey
+  FROM orders
+)
+SELECT priority, CAST(o_orderkey AS BIGINT) AS orderkey, price_c,
+  CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000000) // (n - 1) ELSE 0 END AS BIGINT)
+    AS pct_rank_e6
+FROM t WHERE rnk <= 3 OR rnk > n - 3""",
+)
+def w3_price_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank as exact integer math — (rank-1)*1e6 // (n-1), the
+    rational PERCENT_RANK computes, so no float hashing risk — emitted
+    for each priority's 3 cheapest and 3 most expensive orders (RANK
+    keeps ties, so boundary rows can exceed 3 per side). Scale: one
+    shuffle on the priority key; both window functions share the same
+    sort."""
+    from pyspark.sql import Window
+
+    o = _table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_orderkey").alias("orderkey"),
+    )
+    w = Window.partitionBy("priority").orderBy("price_c")
+    t = t.select(
+        "priority", "orderkey", "price_c",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy("priority")).cast("long").alias("n"),
+    )
+    pct = F.when(
+        F.col("n") > 1, F.expr("((rnk - 1) * 1000000) div (n - 1)")
+    ).otherwise(F.lit(0))
+    return (
+        t.where((F.col("rnk") <= 3) | (F.col("rnk") > F.col("n") - 3))
+        .select(
+            "priority", "orderkey", "price_c",
+            pct.cast("long").alias("pct_rank_e6"),
+        )
+    )
+
+
+@register(
     "hub_sliding_window_sum",
     oracle_hub_cte()
     + """
