@@ -296,6 +296,14 @@ class EventHubsConf(Mapping[str, str]):
         return self.set(MAX_RATES_PER_PARTITION_KEY,
                         json.dumps({str(k): int(v) for k, v in rates.items()}, sort_keys=True))
 
+    @property
+    def max_rate_configured(self) -> bool:
+        """True when the user explicitly set maxRate(s)PerPartition —
+        the gate for the DStream-semantics per-partition clamp (the SQL
+        source's own admission control is maxEventsPerTrigger)."""
+        return (self.get(MAX_RATE_PER_PARTITION_KEY) is not None
+                or self.get(MAX_RATES_PER_PARTITION_KEY) is not None)
+
     def max_rate_per_partition_for(self, partition_id: int) -> int:
         m = self.get(MAX_RATES_PER_PARTITION_KEY)
         if m is not None:

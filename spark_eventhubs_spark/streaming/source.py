@@ -125,6 +125,23 @@ class EventHubsSource:
         self._earliest = {p: e for p, (e, _) in bounds.items()}
         latest = {p: l for p, (_, l) in bounds.items()}
 
+        if self.conf.max_rate_configured:
+            # DStream-semantics per-partition clamp, kept alive for the
+            # Structured Streaming source: upperBound = min(from +
+            # maxRate_p, latest) (EventHubsDirectDStream.scala:97-105;
+            # per-partition overrides beat the global scalar,
+            # EventHubsConf.scala:344-346). Applied BEFORE the
+            # proportional maxEventsPerTrigger split, so both admission
+            # controls compose.
+            start = (self.current_seq_nos if self.current_seq_nos is not None
+                     else self.initial_partition_seq_nos)
+            adjusted = self._adjust_starting_offset(start)
+            latest = {
+                p: min(l, adjusted.get(p, self._earliest.get(p, 0))
+                       + self.conf.max_rate_per_partition_for(p))
+                for p, l in latest.items()
+            }
+
         if self.max_offsets_per_trigger is None:
             seq_nos = latest
         else:

@@ -281,3 +281,45 @@ def test_dynamic_partition_growth_mid_stream(spark, stream_hub, tmp_path):
     # and the new partition's range started at the default position 0
     new_range = [r for r in ranges if r.partition_id == 4][0]
     assert new_range.from_seq_no == 0 and new_range.until_seq_no == 7
+
+
+def test_max_rate_per_partition_clamp(spark, stream_hub, tmp_path):
+    """The DStream-era maxRatePerPartition clamp survives into the
+    Structured Streaming source: each micro-batch admits at most
+    min(from + maxRate_p, latest) per partition
+    (EventHubsDirectDStream.scala:97-105), per-partition overrides
+    beating the global scalar (EventHubsConf.scala:344-346)."""
+    conf = _conf(None).set_max_rate_per_partition(6)
+    conf.set_max_rates_per_partition({0: 3})  # partition 0 tighter
+    source = EventHubsSource(spark, conf, stream_hub,
+                             metadata_path=str(tmp_path / "meta"))
+    seen = []
+    runner = MicroBatchRunner(
+        source, str(tmp_path / "ckpt"),
+        lambda df, bid: seen.append(
+            {r["partition"]: r["n"] for r in
+             df.groupBy("partition").agg(F.count("*").alias("n")).collect()}
+        ),
+    )
+    n = runner.run()
+    # 20 events/partition: p0 at 3/batch -> 7 batches drain it; others
+    # at 6/batch finish in 4
+    assert n == 7
+    for batch in seen:
+        assert batch.get("0", 0) <= 3
+        assert all(v <= 6 for v in batch.values())
+    total = {}
+    for batch in seen:
+        for p, v in batch.items():
+            total[p] = total.get(p, 0) + v
+    assert total == {"0": 20, "1": 20, "2": 20, "3": 20}
+
+
+def test_max_rate_unset_means_no_clamp(spark, stream_hub, tmp_path):
+    """Without the explicit knob, the source keeps SQL-source
+    semantics: no per-partition cap, one batch drains everything."""
+    source = EventHubsSource(spark, _conf(None), stream_hub,
+                             metadata_path=str(tmp_path / "meta"))
+    runner = MicroBatchRunner(source, str(tmp_path / "ckpt"),
+                              lambda df, bid: None)
+    assert runner.run() == 1
