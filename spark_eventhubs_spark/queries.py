@@ -1693,6 +1693,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_topk(_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_token_positions",
+    """WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT tk.doc_id, CAST(u.i AS BIGINT) AS pos, tk.toks[u.i + 1] AS token
+FROM tk, LATERAL (SELECT unnest(range(least(3, len(tk.toks)))) AS i) u""",
+)
+def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL + ordinality shape: each document's first three tokens
+    with their zero-based positions (posexplode — the positional
+    flatten every sequence-labeling export needs). Scale: a narrow
+    generate bounded by slice(3) BEFORE exploding, so at most three
+    rows per document are ever produced."""
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.slice(T.tokens_col(F.col("text")), 1, 3)).alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
 @register("text_heavy_hitters", T.oracle_heavy_hitters())
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (tokens above 0.2% of total token
