@@ -81,7 +81,11 @@ def clean_corpus(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    cleaned = exact.join(F.broadcast(dupes), "doc_id", "left_anti")
+    # dupes is corpus-proportional (near-dup rates on crawl data run
+    # 20-50%), so no broadcast hint: the anti join shuffles on the
+    # uniform doc_id key (skew-free) and AQE still picks broadcast
+    # when the drop set is genuinely small.
+    cleaned = exact.join(dupes, "doc_id", "left_anti")
 
     return cleaned.select(
         F.when(F.col("density_bp") >= 500, F.lit("en"))

@@ -66,39 +66,34 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Entries that already have a driver-green row (union of
-# CORRECTNESS_r02.json and CORRECTNESS_r03.json: rows+schema+hash all
-# true; the 9 hub_* entries regressed in r03 by the testdata ts-dtype
-# drift keep their r02 green — the view is rebuilt dtype-aware). The
-# driver verifies a bounded window of the catalog in dict order, so
-# entries WITHOUT a prior green row are emitted first — every query
-# eventually gets the hard driver signal.
+# Entries with a driver-green row in CORRECTNESS_r04.json (rows +
+# schema + hash all true). The driver verifies a bounded ~50-entry
+# window of the catalog in dict order, so entries WITHOUT an r04 green
+# are emitted first — that re-checks the 38 entries whose last hard
+# driver signal is r02/r03 (the shared md5 kernel changed in r4, so
+# the r02-era tail q2/q7-q21/g1/s1/p1/w2 needs a fresh row), plus any
+# queries new this round. Refresh this set from CORRECTNESS_r{N}.json
+# each round (round-4 verdict item 2).
 _DRIVER_GREEN = frozenset({
-    "a1_inactive_customers", "corpus_decontaminate", "corpus_hash_split",
-    "corpus_pack_documents", "corpus_pii_scan", "corpus_repetition_stats",
-    "corpus_source_quality", "corpus_stratified_sample",
-    "corpus_quantize_embeddings", "dedup_components", "dedup_exact",
-    "dedup_lsh_pairs", "dedup_minhash_signatures", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_winnow_overlap", "embed_ann_lsh",
-    "embed_ivf_ann", "embed_ivf_refined", "embed_knn_join",
-    "embed_knn_join_partial", "embed_neardup_pairs", "embed_topk_cosine",
-    "g1_rollup_revenue", "hub_bounded_scan", "hub_enrich_join",
-    "hub_offset_discovery", "hub_projection_cast", "hub_properties_agg",
-    "hub_sessionization", "hub_take", "hub_time_translate",
-    "hub_window_agg", "multimodal_frame_sample", "multimodal_metadata",
-    "p1_price_percentiles", "pipeline_clean_corpus", "q10_returned_items",
-    "q11_important_parts", "q12_priority_lateness",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_variety", "q17_small_quantity_revenue",
-    "q18_large_volume_orders", "q19_disjunctive_revenue",
-    "q1_pricing_summary", "q20_excess_shippers", "q21_waiting_suppliers",
-    "q22_wealthy_inactive", "q2_min_cost_part", "q3_shipping_priority",
+    "a1_inactive_customers", "corpus_temperature_mix", "dedup_exact",
+    "dedup_lsh_pairs", "dedup_minhash_signatures", "dedup_simhash",
+    "embed_pq_rerank", "embed_topk_cosine", "g2_cube_order_stats",
+    "hub_approx_users", "hub_asof_join", "hub_bounded_scan",
+    "hub_enrich_join", "hub_gap_histogram", "hub_interval_join",
+    "hub_offset_discovery", "hub_pivot_event_counts",
+    "hub_projection_cast", "hub_properties_agg", "hub_property_usage",
+    "hub_salted_user_counts", "hub_sessionization",
+    "hub_sliding_window_sum", "hub_take", "hub_time_translate",
+    "hub_window_agg", "p2_approx_percentiles", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q1_pricing_summary", "q22_wealthy_inactive", "q3_shipping_priority",
     "q4_late_shipping_priority", "q5_local_supplier_volume",
-    "q6_revenue_forecast", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "s1_customer_cohorts", "text_fingerprint",
-    "text_lang_id", "text_length_histogram", "text_quality_score",
-    "text_token_count", "text_top_ngrams", "text_winnow_fingerprints",
-    "w1_top_orders_per_segment", "w2_order_value_deciles",
+    "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
+    "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
+    "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
+    "text_token_count", "text_token_positions",
+    "w1_top_orders_per_segment", "w3_price_rank_profile",
 })
 
 
@@ -281,13 +276,14 @@ GROUP BY 1""",
 )
 def hub_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-table enrichment: hub events joined to a dimension.
-    Scale: customer is the small side -> broadcast hash join, no
-    shuffle of the event stream."""
+    Scale: customer is sf-linear, so the join strategy is left to
+    Catalyst/AQE's size check — broadcast while customer fits the
+    threshold, hash/sort-merge shuffle beyond it. No forced hint."""
     hub = load_hub_flat(spark, sf_dir)
     cust = _table(spark, sf_dir, "customer")
     return (
         hub.join(
-            F.broadcast(cust),
+            cust,
             hub["user_id_str"].cast("bigint") == cust["c_custkey"],
         )
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
@@ -345,9 +341,10 @@ ORDER BY revenue_c DESC, orderkey ASC
 LIMIT 10""",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. Scale: customer filter broadcast into the
-    orders join; lineitem shuffles once on orderkey; top-10 is
-    TakeOrderedAndProject."""
+    """TPC-H Q3 shape. Scale: customer and the date-filtered orders
+    are both sf-linear, so no broadcast is forced — AQE broadcasts
+    the filtered customer side while it fits, and lineitem⋈orders is
+    the one orderkey shuffle; top-10 is TakeOrderedAndProject."""
     c = _table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -356,7 +353,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+        l.join(o.join(c, o["o_custkey"] == c["c_custkey"]),
                l["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
@@ -387,9 +384,10 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name""",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape (6-way join). Scale: region/nation/supplier/
-    customer are broadcast dims; the only big shuffle is
-    lineitem⋈orders on orderkey."""
+    """TPC-H Q5 shape (6-way join). Scale: nation/region are bounded
+    -> hinted broadcast; customer/supplier are sf-linear, so their
+    strategy is left to AQE's size check; the only guaranteed big
+    shuffle is lineitem⋈orders on orderkey."""
     c = _table(spark, sf_dir, "customer")
     o = _table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -401,9 +399,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
@@ -586,8 +584,9 @@ ORDER BY revenue_c DESC, custkey ASC
 LIMIT 20""",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: who returned the most revenue. Scale: customer
-    broadcast; lineitem filtered on returnflag before the join."""
+    """TPC-H Q10 shape: who returned the most revenue. Scale:
+    lineitem filtered on returnflag before the join; customer is
+    sf-linear so its join strategy is AQE's call, not a hint."""
     c = _table(spark, sf_dir, "customer")
     o = _table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -596,7 +595,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -627,7 +626,8 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share in basis points. Ratio of
     two integer-cent sums so the division happens once, on exact
-    integers. Scale: part is broadcast; single scan of lineitem."""
+    integers. Scale: single scan of lineitem; part is sf-linear, so
+    AQE's size check picks the join strategy."""
     l = _table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -635,7 +635,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _table(spark, sf_dir, "part")
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .agg(
             F.floor(
                 10000.0
@@ -666,7 +666,8 @@ LIMIT 50""",
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING over an aggregation feeding a join.
     Scale: the aggregate shrinks lineitem to |orders| rows before any
-    join; customer/orders joins then broadcast the small side."""
+    join; both remaining joins are on sf-linear sides, so strategy is
+    left to AQE (broadcast only while a side truly fits)."""
     l = _table(spark, sf_dir, "lineitem")
     o = _table(spark, sf_dir, "orders")
     c = _table(spark, sf_dir, "customer")
@@ -677,7 +678,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
@@ -702,8 +703,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w1_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 orders by price per market segment.
-    Scale: one shuffle on mktsegment for the window; customer join is
-    broadcast. (With many groups, a groupBy + max_by-array rewrite
+    Scale: one shuffle on mktsegment for the window; the customer
+    join strategy is AQE's size-checked call (customer is sf-linear). (With many groups, a groupBy + max_by-array rewrite
     avoids the big sort; at 5 segments the window is fine.)"""
     from pyspark.sql import Window
 
@@ -713,7 +714,7 @@ def w1_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             F.col("c_mktsegment").alias("mktsegment"),
             F.col("o_orderkey").alias("orderkey"),
@@ -783,18 +784,22 @@ JOIN (
 WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * a.avg_qty""",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated per-part average, decorrelated into
-    an aggregate + self-join (what Catalyst does to the subquery form).
-    Scale: the per-part aggregate shrinks lineitem to |parts| rows and
-    broadcasts; lineitem is scanned once more for the probe."""
+    """TPC-H Q17 shape: correlated per-part average. The Brand#1 part
+    filter prunes lineitem FIRST (the per-partkey average depends only
+    on that partkey's own rows, so pruning by partkey is exact), then
+    the average is a window over the join's own partkey partitioning —
+    one lineitem scan, no self-join, no forced broadcast: the part
+    join strategy is left to Catalyst/AQE's size check, which still
+    holds at 100x scale where a hinted build side would not."""
+    from pyspark.sql import Window
+
     l = _table(spark, sf_dir, "lineitem")
     p = _table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    avg_qty = l.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    w = Window.partitionBy("l_partkey")
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "a_partkey")),
-              l["l_partkey"] == F.col("a_partkey"))
-        .where(l["l_quantity"] < 0.5 * F.col("avg_qty"))
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("revenue_c"),
             F.count("*").alias("n_rows"),
@@ -995,9 +1000,11 @@ GROUP BY 1, 2, 3""",
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume by year between two
     nations (nation joined twice under different roles). Scale:
-    supplier/customer/nation are broadcast dims; the only big shuffle
-    is lineitem join orders on orderkey; the disjunctive nation pair
-    predicate is applied after the cheap broadcast joins."""
+    nation (bounded, 25 rows) keeps its broadcast hint; supplier and
+    customer are sf-linear so AQE's size check picks their strategy;
+    the only guaranteed big shuffle is lineitem join orders on
+    orderkey; the disjunctive nation-pair predicate is applied after
+    the cheap nation joins."""
     s = _table(spark, sf_dir, "supplier")
     l = _table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _TS("1996-01-01 00:00:00"))
@@ -1010,8 +1017,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .where(
@@ -1065,10 +1072,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
     rev = _CENTS(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == r["r_regionkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
@@ -1101,8 +1108,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching a name pattern. The schema has no partsupp, so supply
     cost is proxied as 10% of p_retailprice — the join topology and
     LIKE-driven semi-filtering are what the shape tests. Scale: the
-    LIKE filter on part prunes before broadcast; lineitem shuffles
-    once on orderkey."""
+    LIKE filter on part prunes before the join; part/supplier are
+    sf-linear so AQE's size check picks their join strategy; lineitem
+    shuffles once on orderkey."""
     l = _table(spark, sf_dir, "lineitem")
     p = _table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = _table(spark, sf_dir, "supplier")
@@ -1113,9 +1121,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(profit).alias("profit_c"))
@@ -1203,7 +1211,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view + scalar MAX subquery over the
     same view (top supplier(s) of the quarter). Scale: the view
     aggregates lineitem down to |suppliers| rows; the MAX is a 1-row
-    broadcast; supplier join is broadcast. The view is computed once
+    broadcast (scalar, hint kept); supplier is sf-linear — the tiny
+    post-filter left side makes AQE pick the right strategy unhinted. The view is computed once
     and reused (Spark reuses the exchange under AQE)."""
     l = _table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _TS("1996-01-01 00:00:00"))
@@ -1217,7 +1226,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(best))
         .where(F.col("total_c") == F.col("best_c"))
-        .join(F.broadcast(s), F.col("suppkey") == s["s_suppkey"])
+        .join(s, F.col("suppkey") == s["s_suppkey"])
         .select("suppkey", F.col("s_name").alias("name"), "total_c")
     )
 
@@ -1235,8 +1244,9 @@ GROUP BY 1, 2""",
 def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier count per part attribute
     group with a NOT IN exclusion subquery (association via lineitem
-    instead of the absent partsupp). Scale: the exclusion list is tiny
-    -> broadcast anti join; count-distinct expands to a two-phase agg
+    instead of the absent partsupp). Scale: the exclusion list is a
+    filtered slice of sf-linear supplier, so the anti join is left to
+    AQE (broadcast while it truly fits); count-distinct expands to a two-phase agg
     (partial distinct then merge) — no row explosion."""
     p = _table(spark, sf_dir, "part").where(
         (F.col("p_type") != "PROMO")
@@ -1245,8 +1255,8 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _table(spark, sf_dir, "lineitem")
     bad = _table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(bad, l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -1266,13 +1276,14 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
-    clauses across the join. Scale: part is broadcast; Catalyst
+    clauses across the join. Scale: part is sf-linear, join strategy
+    is AQE's size-checked call; Catalyst
     extracts the common l_quantity range [1, 40] as a pushable
     conjunct so the lineitem scan still prunes; the residual OR is
     evaluated in whole-stage codegen after the join."""
     l = _table(spark, sf_dir, "lineitem")
     p = _table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
     clause = lambda brand, lo, hi, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(lo, hi)
@@ -1310,9 +1321,9 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested IN subqueries (suppliers who shipped
     over 1.5x the average volume of 'small%' parts in a year) -> semi
     join over a scalar-thresholded aggregate over a semi join. Scale:
-    part filter is a broadcast semi join into lineitem; the aggregate
-    shrinks to |suppliers| before the outer semi join (also
-    broadcast); the 1.5x-average threshold is scale-invariant, so the
+    the part-name filter and both semi joins are on sf-linear sides,
+    so join strategy is AQE's size-checked call; the aggregate
+    shrinks to |suppliers| before the outer semi join; the 1.5x-average threshold is scale-invariant, so the
     filter discriminates at any sf. l_quantity is integral, so the
     per-supplier sums are exact."""
     s = _table(spark, sf_dir, "supplier")
@@ -1322,7 +1333,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _TS("1997-01-01 00:00:00"))
     )
     shipped = (
-        l.join(F.broadcast(parts), l["l_partkey"] == parts["p_partkey"], "left_semi")
+        l.join(parts, l["l_partkey"] == parts["p_partkey"], "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -1333,7 +1344,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(shippers), s["s_suppkey"] == shippers["l_suppkey"], "left_semi")
+        s.join(shippers, s["s_suppkey"] == shippers["l_suppkey"], "left_semi")
         .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
     )
 
@@ -1389,7 +1400,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        sole_late.join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("name").asc())
@@ -1417,13 +1428,14 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals: order revenue by region -> nation ->
     grand total, with GROUPING() disambiguating real NULLs from
     subtotal rows. Scale: Spark expands rollup to grouping sets in one
-    Expand + single shuffle; dims are broadcast."""
+    Expand + single shuffle; nation/region keep bounded broadcast
+    hints, the sf-linear customer join is AQE's call."""
     o = _table(spark, sf_dir, "orders")
     c = _table(spark, sf_dir, "customer")
     n = _table(spark, sf_dir, "nation")
     r = _table(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
@@ -1956,14 +1968,15 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = T.winnowing_fingerprints(
         D._spread(_table(spark, sf_dir, "documents"))
     ).localCheckpoint(eager=True)
-    # the HOT list (fps over the cap) is the tiny side — broadcast the
-    # anti join; broadcasting the rare set would ship nearly every fp
+    # the HOT list (fps over the cap) grows with the corpus, so no
+    # forced broadcast — the anti join shuffles on the uniform fp key
+    # and AQE still broadcasts while the hot set is genuinely small
     hot = (
         fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") > 64)
         .select("fp")
     )
-    pruned = fps.join(F.broadcast(hot), "fp", "left_anti")
+    pruned = fps.join(hot, "fp", "left_anti")
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (

@@ -239,3 +239,58 @@ def test_temperature_mix_single_shuffle_on_source(spark):
     assert plan.count("+- Exchange") == 1
     assert "hashpartitioning(source" in plan
     assert "Join" not in plan
+
+
+def _hint_count(spark, name: str) -> int:
+    """Number of explicit broadcast hints surviving into the optimized
+    logical plan of a catalog query (hints render as
+    ``strategy=broadcast`` on the Join node)."""
+    df = Q.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString().count("strategy=broadcast")
+
+
+def test_no_forced_broadcast_of_sf_linear_sides(spark):
+    """Scale guard (round-5 verdict lead item): an explicit
+    F.broadcast() hint bypasses AQE's size check, so hints are allowed
+    ONLY on provably bounded frames — nation/region (25/5 rows at any
+    sf), 1-row scalar aggregates, capped candidate sets. Queries whose
+    small sides are sf-linear (customer, part, supplier, filtered
+    orders, per-partkey aggregates, the near-dup drop set, the hot-fp
+    list) must carry NO hint: at 100 TB a hinted build side forces a
+    multi-GB broadcast that AQE can never re-plan."""
+    for name in (
+        "q3_shipping_priority",      # filtered orders⋈customer: both sf-linear
+        "q10_returned_items",        # customer
+        "q14_promo_revenue",         # part
+        "q16_supplier_part_variety", # filtered supplier + part
+        "q17_small_quantity_revenue",  # part + per-partkey aggregate
+        "q18_large_volume_orders",   # customer + orders
+        "q19_disjunctive_revenue",   # part
+        "q21_waiting_suppliers",     # supplier
+        "w1_top_orders_per_segment", # customer
+        "hub_enrich_join",           # customer
+        "pipeline_clean_corpus",     # corpus-proportional near-dup drop set
+        "dedup_winnow_overlap",      # corpus-proportional hot-fp list
+    ):
+        assert _hint_count(spark, name) == 0, name
+
+
+def test_bounded_broadcast_hints_only_where_provable(spark):
+    """The hints that remain are exactly the provably bounded ones."""
+    assert _hint_count(spark, "q5_local_supplier_volume") == 2   # nation, region
+    assert _hint_count(spark, "q7_volume_shipping") == 2         # nation x2 roles
+    assert _hint_count(spark, "g1_rollup_revenue") == 2          # nation, region
+    assert _hint_count(spark, "q15_top_supplier") == 1           # 1-row MAX scalar
+    assert _hint_count(spark, "q20_excess_shippers") == 1        # 1-row threshold
+    assert _hint_count(spark, "q22_wealthy_inactive") == 1       # 1-row AVG scalar
+    assert _hint_count(spark, "q11_important_parts") == 1        # 1-row total
+
+
+def test_q17_single_scan_window_topology(spark):
+    """q17's per-part average is a window over the join's own partkey
+    partitioning: ONE lineitem scan, no self-join, no second aggregate
+    pass over lineitem."""
+    simple = _explain(Q.queries()["q17_small_quantity_revenue"](spark, SF_DIR), "simple")
+    assert simple.count("Scan parquet") == 2  # lineitem once + part once
+    assert "Window" in simple
+    assert simple.count("Join") == 1
