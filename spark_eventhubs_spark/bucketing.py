@@ -16,9 +16,40 @@ neither Exchange nor (with sorted buckets) Sort.
 
 from __future__ import annotations
 
+import os
+import re
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 8
+
+_FACT_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def ensure_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = DEFAULT_BUCKETS
+) -> dict:
+    """Idempotent per-(session, sf_dir) bucketed ingest: materialize
+    the orderkey-bucketed fact layout once, then reuse the registered
+    catalog tables on every later call. This is the ingest-once /
+    query-many contract the 100 TB layout relies on (SURVEY §8 row
+    "TPC-H joins") — the catalog query ``bucketed_order_revenue``
+    routes through here so the co-located path is exercised
+    end-to-end, not just in isolation."""
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    out = {name: f"bkt_{tag}_{name}" for name in _FACT_KEYS}
+    if all(spark.catalog.tableExists(t) for t in out.values()):
+        return out
+    location = os.path.join(tempfile.gettempdir(), f"seh_bucketed_{tag}")
+    return materialize_bucketed(
+        spark,
+        sf_dir,
+        location,
+        n_buckets=n_buckets,
+        tables=_FACT_KEYS,
+        names=out,
+    )
 
 
 def materialize_bucketed(
@@ -27,15 +58,16 @@ def materialize_bucketed(
     location: str,
     n_buckets: int = DEFAULT_BUCKETS,
     tables: dict | None = None,
+    names: dict | None = None,
 ) -> dict:
     """Write orderkey-bucketed copies of the fact tables as external
     tables; returns {table_name: qualified_name}. Idempotent per
     location (overwrites)."""
-    tables = tables or {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    tables = tables or dict(_FACT_KEYS)
     out = {}
     for name, key in tables.items():
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        tbl = f"bkt_{name}"
+        tbl = (names or {}).get(name, f"bkt_{name}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             df.write.format("parquet")

@@ -3,9 +3,12 @@
 The reference encrypts the connection string the moment it enters the
 conf (``EventHubsConf.setConnectionString``,
 ``EventHubsConf.scala:137-139``) and decrypts on read
-(``connectionString``, :141-144; ``toConf``, :727-731), so the secret
-never sits in plaintext inside Spark option maps, UIs, or logs. Same
-construction here:
+(``connectionString``, :141-144; ``toConf``, :727-731), keeping the
+raw secret out of Spark option maps, UIs, and logs. Note this is
+*obfuscation parity with the reference, not confidentiality*: the key
+is derived from the public connector-version constant, so anyone with
+the code can decrypt — the construction stops casual exposure, not an
+attacker. Same construction here:
 
 - key: PBKDF2-HmacSHA256(password = connector version, salt =
   connector version bytes, 1000 iterations, 256 bits) —
@@ -24,7 +27,11 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import logging
 from typing import Optional
+
+log = logging.getLogger(__name__)
+_warned_plaintext = False
 
 # twin of package.scala:65 (SparkConnectorVersion = "2.3.20"); our own
 # connector's version string plays the same password+salt role
@@ -67,10 +74,19 @@ def _aes_ecb():
 
 
 def encrypt(s: str) -> str:
-    """AES-ECB-PKCS5 + base64 of ``s``; plaintext passthrough when the
-    cipher backend is unavailable."""
+    """AES-ECB-PKCS5 + base64 of ``s`` (obfuscation parity with the
+    reference — the key derives from a public constant). Degrades to
+    plaintext passthrough when the cipher backend is unavailable,
+    logging a one-time warning so the downgrade is visible."""
+    global _warned_plaintext
     cipher = _aes_ecb()
     if cipher is None:
+        if not _warned_plaintext:
+            _warned_plaintext = True
+            log.warning(
+                "cryptography package unavailable: connection string is "
+                "stored in the conf as PLAINTEXT (no obfuscation)"
+            )
         return s
     data = s.encode("utf-8")
     pad = 16 - len(data) % 16
@@ -111,6 +127,15 @@ def decrypt_or_plaintext(s: Optional[str]) -> Optional[str]:
     if s is None:
         return None
     try:
-        return decrypt(s)
+        out = decrypt(s)
     except ValueError:
         return s
+    # Guard against a pathological plaintext that happens to be valid
+    # base64 of block-aligned bytes with coincidentally valid padding
+    # decoding as UTF-8: a "successful" decrypt of such input yields
+    # garbage that only fails much later, in ConnectionStringBuilder,
+    # with a confusing error. A real decrypted connection string always
+    # carries Endpoint=; anything else means the input was plaintext.
+    if "Endpoint=" not in out and "Endpoint=" in s:
+        return s
+    return out

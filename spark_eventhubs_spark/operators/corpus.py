@@ -365,9 +365,14 @@ def temperature_mix(
 
     Determinism: weights are quantized once (w_e6 = floor(1e6 *
     c_s^alpha) — sqrt is an exactly-rounded IEEE op in both engines),
-    quotas are exact integer division, and the rows filling each quota
-    are the stratum's md5-hash-ranked head (same construction as
-    :func:`stratified_sample`), so re-runs and engines agree bit-for-bit.
+    quotas are exact integer division with the floored remainder
+    redistributed largest-remainder-first (ties by source name), so
+    the quotas sum to exactly ``target`` and the emitted mix has
+    exactly ``target`` rows whenever every stratum holds at least its
+    quota. The rows filling each quota are the stratum's
+    md5-hash-ranked head (same construction as
+    :func:`stratified_sample`), so re-runs and engines agree
+    bit-for-bit.
 
     Scale: source counts are one map-side-combined aggregation
     (|sources| rows), quotas are driver math on that tiny frame, and
@@ -388,6 +393,13 @@ def temperature_mix(
     w_e6 = {s: math.floor(1e6 * math.sqrt(c)) for s, c in counts.items()}
     tw = sum(w_e6.values())
     quota = {s: (target * w) // tw for s, w in w_e6.items()}
+    # largest-remainder redistribution: the floors drop up to
+    # len(sources)-1 rows; hand one each to the sources with the
+    # biggest truncated remainder (source name breaks ties) so the
+    # quotas sum to exactly `target` — mirrored in the SQL oracle
+    rem = {s: (target * w) % tw for s, w in w_e6.items()}
+    for s in sorted(quota, key=lambda s: (-rem[s], s))[: target - sum(quota.values())]:
+        quota[s] += 1
     quota_col = F.create_map(
         *[F.lit(x) for s in sorted(quota) for x in (s, quota[s])]
     )[F.col(source_col)]
@@ -408,9 +420,19 @@ def oracle_temperature_mix(source_col: str = "source", target: int = 200) -> str
   SELECT {source_col} AS s, COUNT(*) AS c FROM documents GROUP BY 1
 ), w AS (
   SELECT s, CAST(FLOOR(1000000 * sqrt(c)) AS BIGINT) AS w_e6 FROM c
-), quota AS (
-  SELECT s, CAST(({target} * w_e6) // (SELECT SUM(w_e6) FROM w) AS BIGINT) AS n_s
+), qbase AS (
+  SELECT s,
+    CAST(({target} * w_e6) // (SELECT SUM(w_e6) FROM w) AS BIGINT) AS n_base,
+    CAST(({target} * w_e6) % (SELECT SUM(w_e6) FROM w) AS BIGINT) AS rem
   FROM w
+), quota AS (
+  -- largest-remainder redistribution (ties by source name), matching
+  -- the Spark-side driver math exactly
+  SELECT s, n_base + CASE
+    WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, s ASC)
+         <= {target} - (SELECT SUM(n_base) FROM qbase)
+    THEN 1 ELSE 0 END AS n_s
+  FROM qbase
 ), ranked AS (
   SELECT doc_id, {source_col},
          CAST(ROW_NUMBER() OVER (PARTITION BY {source_col}

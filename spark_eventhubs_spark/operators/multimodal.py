@@ -12,9 +12,13 @@ Decode support is split by dependency honesty:
   deterministic stub (`_fake_decode`) that derives pseudo-metadata
   purely from byte content, keeping tests and oracles stable;
 - formats decodable with the stdlib + numpy decode FOR REAL: PCM WAV
-  (`decode_wav`/`audio_features` — stdlib ``wave``) and netpbm P5/P6
+  (`decode_wav`/`audio_features` — stdlib ``wave``), netpbm P5/P6
   (`decode_netpbm`/`image_stats`/`resize_netpbm` — header parse +
-  reshape), so true sample/pixel math runs end to end here.
+  reshape), and uncompressed BMP (`decode_bmp`/`encode_bmp` —
+  BITMAPINFOHEADER, 24-bit BI_RGB + 8-bit grayscale, bottom-up or
+  top-down, 4-byte row padding, BGR->RGB), so true sample/pixel math
+  runs end to end here. `image_stats` sniffs the magic bytes and
+  dispatches netpbm vs BMP per payload.
 
 Either way the Spark side — schema handling, Arrow batching,
 partition-preserving mapInPandas, byte-bounded batches, column
@@ -33,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -296,18 +301,25 @@ def decode_netpbm(payload: bytes):
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         fields.append(payload[start:pos])
+    if len(fields) != 4:
+        raise ValueError(f"truncated netpbm header ({len(fields)}/4 tokens)")
     magic, w, h, maxval = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
     if magic not in (b"P5", b"P6") or maxval > 255:
         raise ValueError(f"unsupported netpbm {magic!r} maxval={maxval}")
-    pos += 1  # single whitespace after maxval, then raster
+    # exactly ONE whitespace byte separates maxval from the raster
+    # (netpbm spec) — assert it is whitespace before skipping it, so a
+    # malformed header errors here instead of misparsing the raster
+    if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        raise ValueError("netpbm: missing whitespace separator after maxval")
+    pos += 1
     ch = 1 if magic == b"P5" else 3
     img = np.frombuffer(payload, dtype="u1", count=w * h * ch, offset=pos)
     return img.reshape(h, w, ch)
 
 
 def image_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real image statistics over mapInPandas: decode each netpbm
-    payload and emit dimensions plus integer pixel stats (mean scaled
+    """Real image statistics over mapInPandas: decode each payload
+    (netpbm or BMP, sniffed per row) and emit dimensions plus integer pixel stats (mean scaled
     e2 via exact integer math — sum*100 // count — so results are
     engine- and batch-order-independent)."""
 
@@ -316,7 +328,7 @@ def image_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf[media_col]):
-                img = decode_netpbm(bytes(blob))
+                img = decode_image(bytes(blob))
                 h, w, ch = img.shape
                 flat = img.reshape(-1).astype("int64")
                 rows.append((
@@ -339,3 +351,129 @@ def resize_netpbm(payload: bytes, factor: int = 2) -> bytes:
     h, w, ch = small.shape
     magic = b"P5" if ch == 1 else b"P6"
     return b"%s\n%d %d\n255\n" % (magic, w, h) + small.tobytes()
+
+
+def encode_bmp(img) -> bytes:
+    """Real BMP encode (BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up):
+    takes an (h, w, 3) RGB uint8 array, emits BGR rows padded to
+    4-byte boundaries — the exact layout :func:`decode_bmp` parses,
+    property-tested as a round-trip in tests/test_properties.py."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype="u1")
+    h, w, ch = img.shape
+    if ch != 3:
+        raise ValueError("encode_bmp writes 24-bit RGB only")
+    pad = (-(w * 3)) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        rows.append(img[y, :, ::-1].tobytes() + b"\x00" * pad)
+    raster = b"".join(rows)
+    pixel_off = 14 + 40
+    file_hdr = b"BM" + struct.pack("<IHHI", pixel_off + len(raster), 0, 0, pixel_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + raster
+
+
+def decode_bmp(payload: bytes):
+    """Real uncompressed-BMP decode: BITMAPINFOHEADER (or larger), 24-
+    bit BI_RGB or 8-bit greyscale (palette index treated as intensity),
+    positive height = bottom-up rows, negative = top-down, rows padded
+    to 4 bytes, BGR channel order. Returns (h, w, ch) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if comp != 0:
+        raise ValueError(f"unsupported BMP compression {comp} (BI_RGB only)")
+    if bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    ch = 1 if bpp == 8 else 3
+    row_bytes = (w * ch + 3) & ~3
+    if len(payload) < pixel_off + row_bytes * h:
+        raise ValueError("truncated BMP raster")
+    arr = np.frombuffer(
+        payload, dtype="u1", count=row_bytes * h, offset=pixel_off
+    ).reshape(h, row_bytes)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        arr = arr[::-1]
+    if ch == 3:
+        arr = arr[:, :, ::-1]  # stored BGR -> returned RGB
+    return np.ascontiguousarray(arr)
+
+
+def decode_image(payload: bytes):
+    """Magic-byte dispatch over the container's real decoders: BMP
+    (``BM``) or netpbm (``P5``/``P6``). One entry point so
+    :func:`image_stats` handles mixed-format media columns."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return decode_netpbm(payload)
+
+
+def as_bmp_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a REAL 24-bit BMP payload per document (the
+    container has no image corpora): dimensions and the three constant
+    channel values derive from the utf-8 byte length n —
+    w=(n%31)+1, h=(n//31%17)+1, (r,g,b)=((13n)%251,(7n)%251,n%251).
+    Every container feature is exercised (row padding, bottom-up
+    order, BGR storage) while the decoded statistics stay a closed-
+    form function of n that the SQL oracle reproduces exactly."""
+    import numpy as np
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                n = len(str(t).encode("utf-8"))
+                w, h = (n % 31) + 1, ((n // 31) % 17) + 1
+                px = np.empty((h, w, 3), dtype="u1")
+                px[:, :, 0] = (13 * n) % 251
+                px[:, :, 1] = (7 * n) % 251
+                px[:, :, 2] = n % 251
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "media": payloads}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(_make, out_schema)
+
+
+def oracle_bmp_stats() -> str:
+    """DuckDB twin of as_bmp_column >> image_stats: the BMP raster is a
+    constant-per-channel function of octet_length(text), so the real
+    decode's statistics have this closed form."""
+    return """WITH m AS (
+  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST((n % 31) + 1 AS INTEGER) AS width,
+  CAST(((n // 31) % 17) + 1 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(((13 * n) % 251 + (7 * n) % 251 + n % 251) * 100 // 3 AS BIGINT) AS mean_e2,
+  CAST(LEAST((13 * n) % 251, (7 * n) % 251, n % 251) AS INTEGER) AS min_px,
+  CAST(GREATEST((13 * n) % 251, (7 * n) % 251, n % 251) AS INTEGER) AS max_px
+FROM m"""

@@ -2392,3 +2392,59 @@ def hub_property_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prop_key")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "bucketed_order_revenue",
+    """SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS priority,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+HAVING CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) > 30000000""",
+)
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact join over the bucketed ingest layout — the 100 TB
+    shuffle-elimination story exercised end-to-end, not just in a unit
+    test. ensure_bucketed materializes orderkey-bucketed lineitem and
+    orders ONCE per (session, sf_dir); this query then plans the
+    lineitem⋈orders join AND the orderkey-clustered groupBy with zero
+    Exchange (pinned in tests/test_plans.py): bucket id IS the
+    partitioning, sorted at write, so neither side shuffles or sorts.
+    At 1000 executors this is the difference between an all-to-all
+    shuffle of the largest table on every query and a purely local
+    merge join. Results are identical to the unbucketed plan — the
+    oracle reads the plain parquet."""
+    from spark_eventhubs_spark.bucketing import ensure_bucketed
+
+    tables = ensure_bucketed(spark, sf_dir)
+    li = spark.table(tables["lineitem"])
+    o = spark.table(tables["orders"])
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+        .where(F.col("revenue_c") > 30000000)
+    )
+
+
+@register("multimodal_bmp_stats", M.oracle_bmp_stats())
+def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode in the stats path: per document, a genuine
+    24-bit BMP container is built (4-byte row padding, bottom-up rows,
+    BGR storage) and then decoded back by the header-parsing numpy
+    decoder — no codec library involved. The raster is a closed-form
+    function of the text byte length, so the decoded statistics are
+    SQL-reproducible and hash-checked. Scale: two chained mapInPandas
+    stages, partition-preserving, zero shuffle."""
+    docs = _table(spark, sf_dir, "documents")
+    return M.image_stats(M.as_bmp_column(docs))

@@ -136,9 +136,17 @@ class EventHubsSource:
             start = (self.current_seq_nos if self.current_seq_nos is not None
                      else self.initial_partition_seq_nos)
             adjusted = self._adjust_starting_offset(start)
+            # max(from, ...) mirrors the reference clamp's lower-
+            # bound guard (EventHubsDirectDStream.scala:106): if the
+            # hub's reported latest ever regresses below the
+            # checkpointed position, hold at `from` rather than moving
+            # the until-offset backwards.
             latest = {
-                p: min(l, adjusted.get(p, self._earliest.get(p, 0))
-                       + self.conf.max_rate_per_partition_for(p))
+                p: max(
+                    adjusted.get(p, self._earliest.get(p, 0)),
+                    min(l, adjusted.get(p, self._earliest.get(p, 0))
+                        + self.conf.max_rate_per_partition_for(p)),
+                )
                 for p, l in latest.items()
             }
 

@@ -243,3 +243,63 @@ def test_real_netpbm_decode_stats_and_resize(spark):
     small = decode_netpbm(resize_netpbm(p6, factor=2))
     assert small.shape == (5, 8, 3)
     assert (small == rgb[::2, ::2, :]).all()
+
+
+def test_bmp_decode_is_real(spark):
+    """decode_bmp must parse the actual container: an asymmetric 2x3
+    RGB image survives encode->decode bit-for-bit (bottom-up row
+    flip + BGR->RGB + row padding all exercised), top-down negative-
+    height variants parse too, and malformed payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_eventhubs_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    img = np.arange(2 * 3 * 3, dtype="u1").reshape(2, 3, 3) * 11
+    payload = encode_bmp(img)
+    assert payload[:2] == b"BM"
+    got = decode_bmp(payload)
+    assert got.shape == (2, 3, 3)
+    assert (got == img).all()
+
+    # top-down: flip sign of height, reorder raster rows accordingly
+    pixel_off = 54
+    w, h = 3, 2
+    row = (w * 3 + 3) & ~3
+    raster = payload[pixel_off:]
+    td_raster = b"".join(
+        raster[y * row : (y + 1) * row] for y in range(h - 1, -1, -1)
+    )
+    td = bytearray(payload[:pixel_off] + td_raster)
+    struct.pack_into("<i", td, 22, -h)
+    assert (decode_bmp(bytes(td)) == img).all()
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"BM" + payload[2:40])  # truncated header
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + payload[2:])  # wrong magic
+    bad = bytearray(payload)
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8 compression
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+
+
+def test_image_stats_dispatches_mixed_formats(spark):
+    """One media column holding BOTH netpbm and BMP payloads: the
+    magic-byte dispatch decodes each row with the right parser."""
+    import numpy as np
+
+    from spark_eventhubs_spark.operators.multimodal import encode_bmp, image_stats
+
+    gray = b"P5\n4 2\n255\n" + bytes(range(8))
+    rgb = encode_bmp(np.full((2, 2, 3), 9, dtype="u1"))
+    df = spark.createDataFrame(
+        [(1, bytearray(gray)), (2, bytearray(rgb))], "doc_id long, media binary"
+    )
+    got = {r["doc_id"]: r for r in image_stats(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (4, 2, 1)
+    assert got[1]["mean_e2"] == sum(range(8)) * 100 // 8
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (2, 2, 3)
+    assert got[2]["mean_e2"] == 900 and got[2]["min_px"] == 9 and got[2]["max_px"] == 9

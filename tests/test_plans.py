@@ -294,3 +294,20 @@ def test_q17_single_scan_window_topology(spark):
     assert simple.count("Scan parquet") == 2  # lineitem once + part once
     assert "Window" in simple
     assert simple.count("Join") == 1
+
+
+def test_bucketed_catalog_entry_zero_exchange(spark):
+    """The catalog's bucketed_order_revenue entry (not just the
+    isolated bucketing unit test) must plan the lineitem⋈orders join
+    AND the orderkey groupBy with NO Exchange over the bucketed
+    layout — the ingest-once/query-many 100 TB contract."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.queries()["bucketed_order_revenue"](spark, SF_DIR)
+        simple = _explain(df, "simple")
+        assert "SortMergeJoin" in simple
+        assert "Exchange" not in simple
+        assert "Bucketed: true" in _explain(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

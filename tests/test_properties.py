@@ -218,3 +218,35 @@ def test_netpbm_roundtrip(w, h, ch, seed, comment):
     got = decode_netpbm(hdr + img.tobytes())
     assert got.shape == (h, w, ch)
     assert (got == img).all()
+
+
+# --- BMP encode/decode round-trip (operators/multimodal) ---
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    top_down=st.booleans(),
+)
+def test_bmp_roundtrip(w, h, seed, top_down):
+    """Any RGB image survives encode_bmp -> decode_bmp exactly; the
+    top-down (negative height) variant decodes to the same pixels."""
+    import struct
+
+    import numpy as np
+
+    from spark_eventhubs_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = encode_bmp(img)
+    if top_down:
+        row = (w * 3 + 3) & ~3
+        raster = payload[54:]
+        flipped = b"".join(
+            raster[y * row : (y + 1) * row] for y in range(h - 1, -1, -1)
+        )
+        buf = bytearray(payload[:54] + flipped)
+        struct.pack_into("<i", buf, 22, -h)
+        payload = bytes(buf)
+    assert (decode_bmp(payload) == img).all()
