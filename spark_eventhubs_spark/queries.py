@@ -1965,9 +1965,13 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubiquitous fp contributes O(posting^2) candidate pairs and no dedup
     signal; the cap bounds every join bucket at 64 x 64. Same filter in
     the oracle, so results stay hash-checked."""
-    fps = T.winnowing_fingerprints(
-        D._spread(_table(spark, sf_dir, "documents"))
-    ).localCheckpoint(eager=True)
+    fps = cache_dataframe(
+        spark,
+        ("winnow_fps", sf_dir),
+        lambda: T.winnowing_fingerprints(
+            D._spread(_table(spark, sf_dir, "documents"))
+        ).localCheckpoint(eager=True),
+    )
     # the HOT list (fps over the cap) grows with the corpus, so no
     # forced broadcast — the anti join shuffles on the uniform fp key
     # and AQE still broadcasts while the hot set is genuinely small
@@ -2448,3 +2452,151 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages, partition-preserving, zero shuffle."""
     docs = _table(spark, sf_dir, "documents")
     return M.image_stats(M.as_bmp_column(docs))
+
+
+# =====================================================================
+# Streaming-twin equivalence entries: run the ACTUAL Structured
+# Streaming stateful operators (streaming/stateful.py) through the
+# native eventhubs source for real micro-batches, land the sink in a
+# memory table, and return it — so the driver's batch oracle becomes a
+# hard correctness gate over the streaming surface too (round-4
+# verdict item 6). Each run uses a fresh checkpoint + sink name; the
+# materialized hub log is a session-cached ingest artifact.
+# =====================================================================
+
+import itertools as _it
+
+_STREAM_RUNS = _it.count()
+
+
+def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached one-time hub materialization + datasource
+    registration for the streaming entries (same ingest-once contract
+    as bucketing.ensure_bucketed)."""
+    import os as _os
+    import tempfile as _tf
+
+    from spark_eventhubs_spark.sources.datasource import (
+        materialize_hub,
+        register_eventhubs,
+    )
+
+    def _build():
+        d = _os.path.join(_tf.mkdtemp(prefix="seh_streamhub_"), "events")
+        materialize_hub(spark, sf_dir, d)
+        register_eventhubs(spark)
+        return d
+
+    return cache_dataframe(spark, ("hubstream_dir", sf_dir), _build)
+
+
+def _run_stream_to_memory(df, name: str, available_now: bool = True):
+    """Drain a stream into a memory table. availableNow drains in one
+    bounded pass; the multi-trigger path (rate-limited sources) runs a
+    fast processingTime trigger until processAllAvailable, so state
+    demonstrably carries across several real micro-batches."""
+    import tempfile as _tf
+
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update" if not available_now else "append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="seh_ckpt_"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+    else:
+        q = writer.trigger(processingTime="200 milliseconds").start()
+        q.processAllAvailable()
+        q.stop()
+
+
+@register(
+    "stream_dedup_replay",
+    oracle_hub_cte()
+    + """
+SELECT partition, COUNT(*) AS n_events
+FROM hub GROUP BY 1""",
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup twin, driver-checked: the hub stream is unioned
+    with a second reader of itself (simulated at-least-once
+    redelivery), pushed through dropDuplicatesWithinWatermark on
+    (partition, sequenceNumber), and the per-partition counts of the
+    sink must equal the batch per-partition counts of the hub — the
+    duplicates provably vanished across real micro-batches.
+    Scale: dedup state is bounded by the watermark horizon; the
+    memory-sink aggregation here is test plumbing, not the operator."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_dedup
+
+    path = _hub_stream_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    name = f"cat_sdedup_{run}"
+    s1 = spark.readStream.format("eventhubs").option("path", path).load()
+    s2 = spark.readStream.format("eventhubs").option("path", path).load()
+    deduped = streaming_dedup(s1.union(s2), delay="240 hours")
+    _run_stream_to_memory(deduped.select("partition", "sequenceNumber"), name)
+    return spark.sql(
+        f"SELECT partition, COUNT(*) AS n_events FROM {name} GROUP BY partition"
+    )
+
+
+@register(
+    "stream_running_counters",
+    oracle_hub_cte()
+    + """
+SELECT user_id_str AS user_id, COUNT(*) AS n_events,
+  CAST(MAX(enq_us) AS BIGINT) AS last_seen_us
+FROM hub GROUP BY 1""",
+)
+def stream_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-stateful-operator twin, driver-checked: per-user running
+    count + last-seen via applyInPandasWithState, run over REAL
+    micro-batches (maxEventsPerTrigger bounds each batch, so per-user
+    state provably survives across triggers), update-mode sink. The
+    final state per user — MAX of the monotone running count and
+    last-seen — must equal the batch per-user aggregate. Scale: state
+    is O(users), Arrow-batched per group."""
+    from spark_eventhubs_spark.streaming.stateful import running_counters
+
+    path = _hub_stream_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    name = f"cat_scnt_{run}"
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", path)
+        .option("eventhubs.maxEventsPerTrigger", "2500")
+        .option("eventhubs.consumerGroup", f"cat_scnt_{run}")
+        .load()
+    )
+    _run_stream_to_memory(running_counters(sdf), name, available_now=False)
+    return spark.sql(
+        f"""SELECT user_id, MAX(n_events) AS n_events,
+                   MAX(last_seen_us) AS last_seen_us
+            FROM {name} GROUP BY user_id"""
+    )
+
+
+@register("stream_interval_join", _ORACLES["hub_interval_join"])
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval-join twin, driver-checked against the
+    SAME oracle as the batch hub_interval_join entry: two readers of
+    the hub, equi-join on user with a 10-minute event-time band and
+    watermarks on both sides, aggregated to per-user pair counts.
+    Scale: join state is bounded by delay+band on each side."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_interval_join
+
+    path = _hub_stream_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    name = f"cat_sij_{run}"
+    pairs = streaming_interval_join(
+        spark.readStream.format("eventhubs").option("path", path).load(),
+        spark.readStream.format("eventhubs").option("path", path).load(),
+    )
+    _run_stream_to_memory(pairs, name)
+    return spark.sql(
+        f"""SELECT user_id AS user_id_str,
+                   COUNT(*) AS n_error_before_purchase
+            FROM {name} GROUP BY user_id"""
+    )
