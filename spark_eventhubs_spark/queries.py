@@ -2494,22 +2494,34 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True):
     """Drain a stream into a memory table. availableNow drains in one
     bounded pass; the multi-trigger path (rate-limited sources) runs a
     fast processingTime trigger until processAllAvailable, so state
-    demonstrably carries across several real micro-batches."""
+    demonstrably carries across several real micro-batches.
+
+    The drain runs under 8 shuffle/state partitions: stateful streaming
+    fixes its state-store partition count from shuffle.partitions at
+    query start, and 32 near-empty state tasks per micro-batch is pure
+    scheduling overhead at catalog data sizes (state scales by config,
+    not code, on a real cluster). Restored after the drain."""
     import tempfile as _tf
 
-    writer = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update" if not available_now else "append")
-        .option("checkpointLocation", _tf.mkdtemp(prefix="seh_ckpt_"))
-    )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(300)
-    else:
-        q = writer.trigger(processingTime="200 milliseconds").start()
-        q.processAllAvailable()
-        q.stop()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        writer = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update" if not available_now else "append")
+            .option("checkpointLocation", _tf.mkdtemp(prefix="seh_ckpt_"))
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination(300)
+        else:
+            q = writer.trigger(processingTime="50 milliseconds").start()
+            q.processAllAvailable()
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -2563,10 +2575,15 @@ def stream_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _hub_stream_dir(spark, sf_dir)
     run = next(_STREAM_RUNS)
     name = f"cat_scnt_{run}"
+    # rate-limit to ~4 micro-batches at ANY sf: multi-batch state
+    # carry-over is what's under test, not wall-clock proportional to
+    # the backlog (the count is a parquet metadata-only read)
+    n_events = _table(spark, sf_dir, "events").count()
+    per_trigger = max(500, n_events // 4 + 1)
     sdf = (
         spark.readStream.format("eventhubs")
         .option("path", path)
-        .option("eventhubs.maxEventsPerTrigger", "2500")
+        .option("eventhubs.maxEventsPerTrigger", str(per_trigger))
         .option("eventhubs.consumerGroup", f"cat_scnt_{run}")
         .load()
     )

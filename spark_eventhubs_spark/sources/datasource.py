@@ -381,7 +381,19 @@ class EventHubsStreamReader(DataSourceStreamReader):
     the engine's offset log can never regress, so no event is planned
     twice. Two concurrent queries should use distinct consumer groups,
     exactly as the reference requires for two receivers
-    (docs/structured-streaming-eventhubs-integration.md)."""
+    (docs/structured-streaming-eventhubs-integration.md).
+
+    **Trigger.AvailableNow + maxEventsPerTrigger.** Spark's Python
+    streaming API exposes no SupportsTriggerAvailableNow hook, so an
+    availableNow run snapshots ONE (rate-limited) latestOffset answer
+    and stops after that single admission-controlled batch — the same
+    semantics the reference has under Trigger.Once
+    (EventHubsSource.scala getOffset applies the rate limit there
+    too). Repeated availableNow runs against the same checkpoint
+    resume from the offset log and drain the backlog incrementally
+    with no duplicates (pinned in tests/test_datasource.py); for a
+    full drain in one run either leave maxEventsPerTrigger unset or
+    use a processingTime trigger + processAllAvailable()."""
 
     def __init__(self, options) -> None:
         self.options = options

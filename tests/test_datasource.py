@@ -447,3 +447,43 @@ def test_per_partition_starting_positions(spark, hub_dir):
     assert mins["1"] == 100     # per-partition override
     assert mins["2"] == 10      # global fallback
     assert mins["3"] == 10
+
+
+def test_available_now_rate_limited_drains_incrementally(spark, tmp_path):
+    """Python streaming sources have no SupportsTriggerAvailableNow
+    hook, so availableNow + maxEventsPerTrigger = ONE admission-
+    controlled batch per run (the reference's Trigger.Once semantics).
+    Pin the useful half of that contract: repeated runs against the
+    same checkpoint resume from the offset log, drain the backlog
+    incrementally, and never emit a duplicate."""
+    hub = str(tmp_path / "anhub" / "events")
+    materialize_hub(spark, SF_DIR, hub)
+    register_eventhubs(spark)
+    ckpt = str(tmp_path / "anck")
+    out_dir = str(tmp_path / "an_out")
+    total_hub = 1000
+    prev = 0
+    for i in range(6):
+        q = (
+            spark.readStream.format("eventhubs")
+            .option("path", hub)
+            .option("eventhubs.maxEventsPerTrigger", "300")
+            .option("eventhubs.consumerGroup", "an_inc")
+            .load()
+            .select("partition", "sequenceNumber")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [(r["partition"], r["sequenceNumber"])
+                for r in spark.read.parquet(out_dir).collect()]
+        assert len(rows) == len(set(rows)), "duplicate events emitted"
+        assert len(rows) >= prev, "sink shrank between runs"
+        prev = len(rows)
+        if len(rows) == total_hub:
+            break
+    assert prev == total_hub, f"backlog not drained: {prev}"

@@ -311,3 +311,59 @@ def test_bucketed_catalog_entry_zero_exchange(spark):
         assert "Bucketed: true" in _explain(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# Entries whose DataFrame builds lazily (no eager collect/checkpoint/
+# stream/write at build time), so a plan-only audit is cheap. Kept as
+# an explicit list because eager-building entries (dedup_*, stream_*,
+# pipeline, IVF codebooks, BM25 corpus stats, bucketed ingest) would
+# execute real jobs just to look at their plans.
+_LAZY_AUDIT_ENTRIES = [
+    "q1_pricing_summary", "q2_min_cost_part", "q3_shipping_priority",
+    "q4_late_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_forecast", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_priority_lateness", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_wealthy_inactive",
+    "a1_inactive_customers", "g1_rollup_revenue", "g2_cube_order_stats",
+    "s1_customer_cohorts", "s2_unpivot_quality",
+    "w1_top_orders_per_segment", "w2_order_value_deciles",
+    "w3_price_rank_profile", "p1_price_percentiles",
+    "p2_approx_percentiles", "hub_projection_cast", "hub_bounded_scan",
+    "hub_take", "hub_window_agg", "hub_properties_agg",
+    "hub_property_usage", "hub_enrich_join", "hub_sessionization",
+    "hub_gap_histogram", "hub_sliding_window_sum", "hub_interval_join",
+    "hub_asof_join", "hub_salted_user_counts", "hub_pivot_event_counts",
+    "hub_approx_users", "text_token_count", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "text_top_ngrams",
+    "text_length_histogram", "text_token_positions",
+    "text_tfidf_top_terms", "corpus_hash_split",
+    "corpus_stratified_sample", "corpus_pack_documents",
+    "corpus_pii_scan", "corpus_repetition_stats",
+    "corpus_quantize_embeddings", "corpus_source_quality",
+    "corpus_temperature_mix", "multimodal_metadata",
+    "multimodal_frame_sample", "multimodal_bmp_stats",
+]
+
+# 1-row scalar-broadcast joins legitimately plan as a nested-loop /
+# cross join of a single-row frame — bounded by construction.
+_SCALAR_CROSS_OK = {
+    "q11_important_parts", "q15_top_supplier", "q20_excess_shippers",
+    "q22_wealthy_inactive", "p1_price_percentiles",
+    "p2_approx_percentiles", "w2_order_value_deciles",
+}
+
+
+def test_catalog_wide_no_unbounded_cross_joins(spark):
+    """Sweep audit: no catalog plan may contain a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only for the known 1-row scalar
+    joins — anything else is an accidental cross join that explodes at
+    scale."""
+    for name in _LAZY_AUDIT_ENTRIES:
+        plan = _explain(Q.queries()[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in _SCALAR_CROSS_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
