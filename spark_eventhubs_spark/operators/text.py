@@ -398,6 +398,82 @@ def tfidf_top_terms(df: DataFrame, top_n: int = 3, text_col: str = "text") -> Da
     )
 
 
+def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bigram language-model score — the CCNet-style LM
+    quality gate: documents whose token transitions are improbable
+    under the corpus's own bigram MLE get high negative-log-likelihood
+    and can be filtered or bucketed.
+
+    nll_e3(doc) = floor-mean over the doc's bigram occurrences of
+    floor(1000 * ln(c(w1·)/c(w1,w2))), where c(w1,w2) is the corpus
+    bigram count and c(w1·) the continuation total (sum of bigram
+    counts with first word w1, so P(w2|w1) normalizes exactly). MLE
+    needs no smoothing here: every doc bigram occurs in the corpus at
+    least once by construction. Each occurrence's -ln P is quantized
+    to e3 BEFORE averaging and the mean is an integer division, so
+    Spark and DuckDB agree bit-for-bit (same convention as TF-IDF).
+
+    Scale: bigram construction is a JVM zip_with over token-array
+    slices (no shuffle); the count tables are postings-shaped
+    aggregations (|bigram-vocabulary| rows); the scoring joins
+    co-partition on the bigram / first-word keys and AQE broadcasts
+    them while they fit. Docs with <2 tokens drop out (explode of an
+    empty array), matching the oracle's len >= 2 filter."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = df.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    w1c = (
+        bgc.groupBy(F.split(F.col("bigram"), " ")[0].alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    occ_e3 = F.floor(
+        F.lit(1000.0) * F.log(F.col("c1").cast("double") / F.col("c2"))
+    ).cast("long")
+    return (
+        bg.join(bgc, "bigram")
+        .join(w1c, F.split(F.col("bigram"), " ")[0] == F.col("w1"))
+        .select("doc_id", occ_e3.alias("occ_e3"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("occ_e3").alias("sum_e3"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sum_e3 DIV n_bigrams").alias("nll_e3"),
+        )
+    )
+
+
+def oracle_bigram_lm_scores() -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+), bgc AS (
+  SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1
+), w1c AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, SUM(c2) AS c1 FROM bgc GROUP BY 1
+), scored AS (
+  SELECT bg.doc_id,
+    CAST(FLOOR(1000.0 * ln(CAST(w1c.c1 AS DOUBLE) / bgc.c2)) AS BIGINT) AS occ_e3
+  FROM bg
+  JOIN bgc USING (bigram)
+  JOIN w1c ON split_part(bg.bigram, ' ', 1) = w1c.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  CAST(SUM(occ_e3) // COUNT(*) AS BIGINT) AS nll_e3
+FROM scored GROUP BY 1"""
+
+
 def oracle_tfidf_top_terms(top_n: int = 3) -> str:
     toks = _oracle_tokens("text")
     return f"""WITH tf AS (

@@ -2617,3 +2617,12 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n_error_before_purchase
             FROM {name} GROUP BY user_id"""
     )
+
+
+@register("text_bigram_lm", T.oracle_bigram_lm_scores())
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scores (operators/text.py:bigram_lm_scores):
+    the corpus-trained MLE bigram model scores each document's token
+    transitions; high nll = improbable text. The CCNet-style LM filter
+    as one deterministic integer plan — no external model, no UDF."""
+    return T.bigram_lm_scores(_table(spark, sf_dir, "documents"))

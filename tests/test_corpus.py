@@ -280,3 +280,27 @@ def test_temperature_mix_quota_math(spark, docs):
 
     again = temperature_mix(docs, target=200).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Pin the bigram LM semantics on a corpus small enough to score
+    by hand: c(w1,w2)=corpus bigram counts, c(w1.)=continuation
+    totals, per-occurrence floor(1000*ln(c1/c2)), per-doc floor-mean;
+    docs with <2 tokens drop out."""
+    import math
+
+    from spark_eventhubs_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll_e3"])
+           for r in bigram_lm_scores(df).collect()}
+    # corpus: ab x3, ba x1, bc x1; c1(a)=3, c1(b)=2
+    e_ab = math.floor(1000 * math.log(3 / 3))   # 0
+    e_b = math.floor(1000 * math.log(2 / 1))    # 693
+    assert got == {
+        1: (3, (e_ab + e_b + e_ab) // 3),  # "a b a b": ab, ba, ab
+        2: (2, (e_ab + e_b) // 2),         # "a b c": ab, bc
+    }
+    assert 3 not in got  # single-token doc has no bigrams
