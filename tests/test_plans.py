@@ -367,3 +367,25 @@ def test_catalog_wide_no_unbounded_cross_joins(spark):
         assert "CartesianProduct" not in plan, name
         if name not in _SCALAR_CROSS_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_unhinted_joins_respect_size_config(spark):
+    """Direct refutation of hint-forcing: with the broadcast threshold
+    disabled, the swept queries must plan shuffle joins — an explicit
+    F.broadcast() hint would force BroadcastHashJoin regardless of the
+    config, which is exactly the 100 TB failure mode the sweep
+    removed."""
+    from spark_eventhubs_spark.plans.hubview import clear_cached_plans
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    clear_cached_plans(spark, "query")
+    try:
+        for name in ("q3_shipping_priority", "q17_small_quantity_revenue",
+                     "hub_enrich_join"):
+            plan = _explain(Q.queries()[name](spark, SF_DIR), "simple")
+            assert "BroadcastHashJoin" not in plan, name
+            assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        clear_cached_plans(spark, "query")
