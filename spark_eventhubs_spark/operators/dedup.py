@@ -756,3 +756,49 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
         .select("doc_id", text_col)
         .mapInPandas(_fn, "doc_id long, shingle string")
     )
+
+
+def duplicated_span_profile(
+    df: DataFrame, text_col: str = "text", k: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """Per-document duplicated-span contamination profile: the basis-
+    point fraction of the doc's distinct k-token shingles that also
+    appear in at least one OTHER document — the cross-document
+    boilerplate metric behind exact-substring training-data dedup
+    (duplicated spans degrade LM training; docs with high dup_bp are
+    candidates for span removal or downweighting).
+
+    Scale: the shingle frame comes from the zero-shuffle Arrow kernel
+    (:func:`exploded_shingles`); document frequencies are one
+    postings-shaped aggregation of it (|shingle-vocabulary| rows); the
+    profile joins back on the shingle key — co-partitioned, no
+    all-pairs stage. The ratio is exact integer math (10000*dup DIV n)
+    so both engines agree bit-for-bit.
+    """
+    sh = exploded_shingles(_spread(df), text_col, k)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.expr("CAST(10000 * n_dup AS BIGINT) DIV n_shingles").alias("dup_bp"),
+        )
+    )
+
+
+def oracle_duplicated_span_profile(k: int = DEFAULT_SHINGLE) -> str:
+    return f"""{oracle_shingles_cte(k)}
+, freq AS (
+  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+  COUNT(*) AS n_shingles,
+  CAST((10000 * SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dup_bp
+FROM sh JOIN freq USING (shingle)
+GROUP BY 1"""

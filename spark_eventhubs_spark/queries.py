@@ -2626,3 +2626,13 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions; high nll = improbable text. The CCNet-style LM filter
     as one deterministic integer plan — no external model, no UDF."""
     return T.bigram_lm_scores(_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_span_profile", D.oracle_duplicated_span_profile())
+def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span profile
+    (operators/dedup.py:duplicated_span_profile): per doc, the bp
+    fraction of its distinct 3-token shingles shared with other
+    documents — the exact-substring boilerplate metric that drives
+    span-level training-data dedup."""
+    return D.duplicated_span_profile(_table(spark, sf_dir, "documents"))

@@ -304,3 +304,24 @@ def test_bigram_lm_hand_computed(spark):
         2: (2, (e_ab + e_b) // 2),         # "a b c": ab, bc
     }
     assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_duplicated_span_profile_hand_computed(spark):
+    """Pin span-profile semantics: dup_bp counts the doc's distinct
+    shingles that appear in >= 2 documents, as exact integer bp."""
+    from spark_eventhubs_spark.operators.dedup import duplicated_span_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shingles: tqb, qbf, bfj
+            (2, "the quick brown cat sleeps"),  # tqb, qbc, bcs
+            (3, "totally different odd words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_shingles"], r["dup_bp"])
+           for r in duplicated_span_profile(df).collect()}
+    # only "the quick brown" is shared (docs 1 and 2): 1/3 of each
+    assert got[1] == (3, 10000 // 3)
+    assert got[2] == (3, 10000 // 3)
+    assert got[3] == (3, 0)
