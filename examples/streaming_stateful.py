@@ -62,10 +62,14 @@ def main() -> None:
     assert n_dedup == n_batch
 
     # 2. running per-user counters across rate-limited micro-batches
+    # a DISTINCT consumer group: part 1's unlimited query advanced the
+    # default group's cursor to the hub end, which would defeat the
+    # rate limit (two queries = two receivers, as the reference requires)
     sdf = (
         spark.readStream.format("eventhubs")
         .option("path", hub_dir)
         .option("eventhubs.maxEventsPerTrigger", "300")
+        .option("eventhubs.consumerGroup", "counters_demo")
         .load()
     )
     q2 = (

@@ -37,7 +37,16 @@ def ensure_bucketed(
     "TPC-H joins") — the catalog query ``bucketed_order_revenue``
     routes through here so the co-located path is exercised
     end-to-end, not just in isolation."""
-    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    # Key the idempotency on the FULL path and bucket count, not just
+    # the directory basename: two corpora named sf0.01 in different
+    # locations (or a re-request with a different n_buckets) must not
+    # silently reuse each other's tables.
+    import hashlib
+
+    abspath = os.path.abspath(os.path.normpath(sf_dir))
+    fp = hashlib.md5(abspath.encode()).hexdigest()[:8]
+    base = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(abspath))
+    tag = f"{base}_{fp}_b{n_buckets}"
     out = {name: f"bkt_{tag}_{name}" for name in _FACT_KEYS}
     if all(spark.catalog.tableExists(t) for t in out.values()):
         return out

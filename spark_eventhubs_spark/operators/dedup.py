@@ -775,7 +775,7 @@ def duplicated_span_profile(
     all-pairs stage. The ratio is exact integer math (10000*dup DIV n)
     so both engines agree bit-for-bit.
     """
-    sh = exploded_shingles(_spread(df), text_col, k)
+    sh = exploded_shingles(df, text_col, k)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return (
         sh.join(freq, "shingle")

@@ -420,10 +420,13 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     them while they fit. Docs with <2 tokens drop out (explode of an
     empty array), matching the oracle's len >= 2 filter."""
     toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
+    # slice length must be non-negative: a 0- or 1-token doc yields an
+    # empty bigram array (and drops at the explode), never a negative-
+    # length slice error
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     bg = df.select("doc_id", F.explode(bigrams).alias("bigram"))

@@ -2515,7 +2515,13 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True):
         )
         if available_now:
             q = writer.trigger(availableNow=True).start()
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                # fail loudly instead of aggregating a partial sink
+                # (and don't leak the still-running query)
+                q.stop()
+                raise RuntimeError(
+                    f"streaming drain into {name} timed out after 300s"
+                )
         else:
             q = writer.trigger(processingTime="50 milliseconds").start()
             q.processAllAvailable()
