@@ -2504,6 +2504,14 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True):
     import tempfile as _tf
 
     spark = df.sparkSession
+    # drop sink tables left by PRIOR invocations of the same entry
+    # (each run uses a fresh numbered name; the bench invokes entries
+    # repeatedly, and collected memory-sink rows would otherwise
+    # accumulate in driver memory for the life of the session)
+    prefix = name.rsplit("_", 1)[0] + "_"
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith(prefix) and t.name != name:
+            spark.catalog.dropTempView(t.name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
