@@ -2650,3 +2650,75 @@ def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — the exact-substring boilerplate metric that drives
     span-level training-data dedup."""
     return D.duplicated_span_profile(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle_hub_cte()
+    + """
+SELECT event_type, TRUE AS contract_ok
+FROM hub WHERE prop_k IS NOT NULL
+GROUP BY 1""",
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters under the driver gate, via
+    its VERIFIABLE CONTRACT (same pattern as the sketch entries): the
+    MG guarantee says every value whose true count in a group exceeds
+    N_group/(k+1) is in the final summary. The stream runs across ~4
+    rate-limited micro-batches with top_n=k (each trigger emits its
+    whole summary head, so the final trigger emits the complete final
+    summary); the entry then checks, per event type, that every
+    batch-computed guaranteed-heavy token appears among the emitted
+    tokens, and emits the constant-TRUE contract row set. A summary
+    bug that drops a guaranteed-heavy value flips the boolean and
+    fails the hash. Scale: state is O(groups x k) forever; the batch
+    truth side is one vocabulary-sized aggregation."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_heavy_hitters
+
+    k = 64
+    path = _hub_stream_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    name = f"cat_shh_{run}"
+    n_events = _table(spark, sf_dir, "events").count()
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", path)
+        .option("eventhubs.maxEventsPerTrigger", str(max(500, n_events // 4 + 1)))
+        .option("eventhubs.consumerGroup", f"cat_shh_{run}")
+        .load()
+    )
+    _run_stream_to_memory(
+        streaming_heavy_hitters(sdf, k=k, top_n=k), name, available_now=False
+    )
+    emitted = spark.sql(
+        f"SELECT DISTINCT event_type, token FROM {name}"
+    ).withColumnRenamed("token", "e_token")
+
+    truth = (
+        load_hub_flat(spark, sf_dir)
+        .where(F.col("prop_k").isNotNull())
+        .groupBy("event_type", F.col("prop_k").alias("token"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = truth.groupBy("event_type").agg(F.sum("cnt").alias("n_group"))
+    heavy = (
+        truth.join(totals, "event_type")
+        .where(F.col("cnt") * (k + 1) > F.col("n_group"))
+    )
+    missing = heavy.join(
+        emitted,
+        (heavy["event_type"] == emitted["event_type"])
+        & (heavy["token"] == emitted["e_token"]),
+        "left_anti",
+    )
+    return (
+        totals.join(
+            missing.groupBy("event_type").agg(F.count("*").alias("n_missing")),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            (F.coalesce(F.col("n_missing"), F.lit(0)) == 0).alias("contract_ok"),
+        )
+    )
