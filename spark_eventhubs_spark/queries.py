@@ -2490,7 +2490,8 @@ def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     return cache_dataframe(spark, ("hubstream_dir", sf_dir), _build)
 
 
-def _run_stream_to_memory(df, name: str, available_now: bool = True):
+def _run_stream_to_memory(df, name: str, available_now: bool = True,
+                          mode: str | None = None):
     """Drain a stream into a memory table. availableNow drains in one
     bounded pass; the multi-trigger path (rate-limited sources) runs a
     fast processingTime trigger until processAllAvailable, so state
@@ -2518,7 +2519,7 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True):
         writer = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("update" if not available_now else "append")
+            .outputMode(mode or ("update" if not available_now else "append"))
             .option("checkpointLocation", _tf.mkdtemp(prefix="seh_ckpt_"))
         )
         if available_now:
@@ -2721,4 +2722,36 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             (F.coalesce(F.col("n_missing"), F.lit(0)) == 0).alias("contract_ok"),
         )
+    )
+
+
+@register("stream_asof_join", _ORACLES["hub_asof_join"])
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join under the FULL batch oracle: the
+    carry-forward applyInPandasWithState twin replays the hub across
+    ~4 rate-limited micro-batches (per-user order is preserved —
+    partition assignment is user-keyed and replay is seqNo-ordered, so
+    batch boundaries only exercise the state carry-over), and the sink
+    must hash-match the batch hub_asof_join rows exactly, including
+    NULL last_click_us for purchases with no preceding click. Scale:
+    state is ONE long per user."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_asof_join
+
+    path = _hub_stream_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    name = f"cat_sasof_{run}"
+    n_events = _table(spark, sf_dir, "events").count()
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", path)
+        .option("eventhubs.maxEventsPerTrigger", str(max(500, n_events // 4 + 1)))
+        .option("eventhubs.consumerGroup", f"cat_sasof_{run}")
+        .load()
+    )
+    _run_stream_to_memory(
+        streaming_asof_join(sdf), name, available_now=False, mode="append"
+    )
+    return spark.sql(
+        f"""SELECT user_id AS user_id_str, purchase_us, last_click_us
+            FROM {name}"""
     )
