@@ -386,3 +386,17 @@ def test_streaming_heavy_hitters_survives_restart(spark, hub_dir, tmp_path):
     for (etype, tok), true_c in batch.items():
         if (etype, tok) in final and true_c > grp_n[etype] / 65:
             assert final[(etype, tok)] >= true_c - grp_n[etype] / 65
+
+
+def test_streaming_catalog_entries_leave_no_active_queries(spark):
+    """The streaming-twin catalog entries drain fully and stop their
+    queries: after building (and collecting) an entry, no streaming
+    query may still be active on the session — a leak here would keep
+    mutating sink tables and contend with every later query."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["stream_dedup_replay"](spark, SF_DIR)
+    assert df.count() > 0
+    df2 = entry.queries()["stream_asof_join"](spark, SF_DIR)
+    assert df2.count() > 0
+    assert spark.streams.active == []
