@@ -477,6 +477,60 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
 FROM scored GROUP BY 1"""
 
 
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token (vocabulary) entropy — the Shannon-entropy
+    quality signal: repetitive or templated text scores low, diverse
+    natural text scores near ln(n). Complements repetition_stats with
+    a single scalar a cleaning pipeline can threshold on.
+
+    H = ln(n) - (1/n) * sum_t c_t ln c_t over the doc's token counts.
+    Each ln(c_t) is e6-quantized BEFORE the (exact integer) weighted
+    sum and the 1/n is an integer division, so Spark and DuckDB agree
+    bit-for-bit (the repo's standard ln-quantization convention).
+
+    Scale: one explode + (doc_id, token) count — postings-shaped, the
+    same one shuffle as TF-IDF's tf stage — then a per-doc aggregate
+    of that frame. No joins, no UDFs."""
+    tf = (
+        df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    ln_c_e6 = F.floor(F.lit(1e6) * F.log(F.col("c").cast("double"))).cast("long")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * ln_c_e6).alias("s_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.floor(F.lit(1e6) * F.log(F.col("n_tokens").cast("double"))).cast("long")
+                - F.expr("s_e6 DIV n_tokens")
+            ).alias("entropy_e6"),
+        )
+    )
+
+
+def oracle_token_entropy() -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH tf AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+), tfc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tf GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, SUM(c) AS n_tokens,
+    SUM(c * CAST(FLOOR(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS s_e6
+  FROM tfc GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(CAST(FLOOR(1000000 * ln(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+       - (s_e6 // n_tokens) AS BIGINT) AS entropy_e6
+FROM agg"""
+
+
 def oracle_tfidf_top_terms(top_n: int = 3) -> str:
     toks = _oracle_tokens("text")
     return f"""WITH tf AS (

@@ -2755,3 +2755,12 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT user_id AS user_id_str, purchase_us, last_click_us
             FROM {name}"""
     )
+
+
+@register("text_token_entropy", T.oracle_token_entropy())
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy (operators/text.py:token_entropy):
+    the Shannon vocabulary-diversity quality signal — low for
+    repetitive/templated text, near ln(n) for diverse text — as one
+    postings-shaped shuffle with integer-deterministic scoring."""
+    return T.token_entropy(_table(spark, sf_dir, "documents"))

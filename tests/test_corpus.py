@@ -325,3 +325,23 @@ def test_duplicated_span_profile_hand_computed(spark):
     assert got[1] == (3, 10000 // 3)
     assert got[2] == (3, 10000 // 3)
     assert got[3] == (3, 0)
+
+
+def test_token_entropy_hand_computed(spark):
+    """Pin entropy semantics: uniform tokens -> 0; distinct tokens ->
+    floor(1e6*ln(n)); mixed case matches the quantized formula."""
+    import math
+
+    from spark_eventhubs_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d"), (3, "a a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy_e6"])
+           for r in token_entropy(df).collect()}
+    ln = lambda v: math.floor(1e6 * math.log(v))  # noqa: E731
+    assert got[1] == (4, ln(4) - (4 * ln(4)) // 4)           # == 0
+    assert got[1][1] == 0
+    assert got[2] == (4, ln(4))                              # all distinct
+    assert got[3] == (3, ln(3) - (2 * ln(2) + 1 * ln(1)) // 3)

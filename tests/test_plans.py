@@ -344,7 +344,8 @@ _LAZY_AUDIT_ENTRIES = [
     "corpus_stratified_sample", "corpus_pack_documents",
     "corpus_pii_scan", "corpus_repetition_stats",
     "corpus_quantize_embeddings", "corpus_source_quality",
-    "corpus_temperature_mix", "text_bigram_lm", "multimodal_metadata",
+    "corpus_temperature_mix", "text_bigram_lm", "text_token_entropy",
+    "multimodal_metadata",
     "multimodal_frame_sample", "multimodal_bmp_stats",
 ]
 
