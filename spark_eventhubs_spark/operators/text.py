@@ -531,6 +531,75 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM agg"""
 
 
+def kl_divergence_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document KL divergence from the corpus token distribution —
+    the domain-outlier quality signal: documents whose vocabulary
+    usage diverges from the corpus (spam, boilerplate, wrong-language
+    leakage) score high and can be reviewed or downweighted.
+
+    KL(doc || corpus) = (1/n) * sum_t c_t (ln c_t - ln C_t)
+                        - ln n + ln N
+    with every ln e6-quantized BEFORE the exact integer weighted sum
+    and 1/n as integer division (the repo's ln-quantization
+    convention), so Spark and DuckDB agree bit-for-bit.
+
+    Scale: per-doc tf and corpus tf are the same postings-shaped
+    aggregations as TF-IDF; the join-back is co-partitioned on the
+    token key (AQE broadcasts the vocabulary side while it fits); the
+    corpus total is a 1-row scalar broadcast."""
+    lnq = lambda col: F.floor(F.lit(1e6) * F.log(col.cast("double"))).cast("long")  # noqa: E731
+    tf = (
+        df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    ctf = tf.groupBy("token").agg(F.sum("c").alias("corpus_c"))
+    total = ctf.agg(lnq(F.sum("corpus_c")).alias("ln_total_e6"))
+    per_doc = (
+        tf.join(ctf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * (lnq(F.col("c")) - lnq(F.col("corpus_c")))).alias("s_e6"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.expr("s_e6 DIV n_tokens")
+            - lnq(F.col("n_tokens"))
+            + F.col("ln_total_e6")
+        ).alias("kl_e6"),
+    )
+
+
+def oracle_kl_divergence_scores() -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH tf AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+), tfc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tf GROUP BY 1, 2
+), ctf AS (
+  SELECT token, SUM(c) AS corpus_c FROM tfc GROUP BY 1
+), total AS (
+  SELECT CAST(FLOOR(1000000 * ln(CAST(SUM(corpus_c) AS DOUBLE))) AS BIGINT)
+    AS ln_total_e6 FROM ctf
+), per_doc AS (
+  SELECT t.doc_id, SUM(t.c) AS n_tokens,
+    SUM(t.c * (CAST(FLOOR(1000000 * ln(CAST(t.c AS DOUBLE))) AS BIGINT)
+             - CAST(FLOOR(1000000 * ln(CAST(ct.corpus_c AS DOUBLE))) AS BIGINT)))
+      AS s_e6
+  FROM tfc t JOIN ctf ct USING (token)
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST((s_e6 // n_tokens)
+       - CAST(FLOOR(1000000 * ln(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+       + (SELECT ln_total_e6 FROM total) AS BIGINT) AS kl_e6
+FROM per_doc"""
+
+
 def oracle_tfidf_top_terms(top_n: int = 3) -> str:
     toks = _oracle_tokens("text")
     return f"""WITH tf AS (

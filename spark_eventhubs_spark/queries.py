@@ -2764,3 +2764,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive/templated text, near ln(n) for diverse text — as one
     postings-shaped shuffle with integer-deterministic scoring."""
     return T.token_entropy(_table(spark, sf_dir, "documents"))
+
+
+@register("text_kl_divergence", T.oracle_kl_divergence_scores())
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KL divergence vs the corpus token distribution
+    (operators/text.py:kl_divergence_scores): the domain-outlier
+    quality signal, integer-deterministic, one postings shuffle +
+    vocabulary join-back."""
+    return T.kl_divergence_scores(_table(spark, sf_dir, "documents"))

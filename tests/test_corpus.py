@@ -345,3 +345,24 @@ def test_token_entropy_hand_computed(spark):
     assert got[1][1] == 0
     assert got[2] == (4, ln(4))                              # all distinct
     assert got[3] == (3, ln(3) - (2 * ln(2) + 1 * ln(1)) // 3)
+
+
+def test_kl_divergence_hand_computed(spark):
+    """Pin KL semantics on a 2-doc corpus: a doc matching the corpus
+    distribution scores near 0; an outlier vocabulary scores higher."""
+    import math
+
+    from spark_eventhubs_spark.operators.text import kl_divergence_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "z z z z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["kl_e6"])
+           for r in kl_divergence_scores(df).collect()}
+    ln = lambda v: math.floor(1e6 * math.log(v))  # noqa: E731
+    # corpus: a:2 b:2 z:4, N=8
+    s1 = 2 * (ln(2) - ln(2)) + 2 * (ln(2) - ln(2))   # doc1: a,b
+    s2 = 4 * (ln(4) - ln(4))                         # doc2: z
+    assert got[1] == (4, s1 // 4 - ln(4) + ln(8))    # == ln2 ~ 693147
+    assert got[2] == (4, s2 // 4 - ln(4) + ln(8))
+    assert got[1][1] == got[2][1] == ln(8) - ln(4)

@@ -345,7 +345,7 @@ _LAZY_AUDIT_ENTRIES = [
     "corpus_pii_scan", "corpus_repetition_stats",
     "corpus_quantize_embeddings", "corpus_source_quality",
     "corpus_temperature_mix", "text_bigram_lm", "text_token_entropy",
-    "multimodal_metadata",
+    "text_kl_divergence", "multimodal_metadata",
     "multimodal_frame_sample", "multimodal_bmp_stats",
 ]
 
@@ -355,6 +355,7 @@ _SCALAR_CROSS_OK = {
     "q11_important_parts", "q15_top_supplier", "q20_excess_shippers",
     "q22_wealthy_inactive", "p1_price_percentiles",
     "p2_approx_percentiles", "w2_order_value_deciles",
+    "text_kl_divergence",  # 1-row corpus-total scalar
 }
 
 
