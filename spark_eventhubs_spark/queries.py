@@ -2773,3 +2773,40 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal, integer-deterministic, one postings shuffle +
     vocabulary join-back."""
     return T.kl_divergence_scores(_table(spark, sf_dir, "documents"))
+
+
+def _oracle_quality_report() -> str:
+    return f"""WITH ent AS (
+  {T.oracle_token_entropy()}
+), klq AS (
+  {T.oracle_kl_divergence_scores()}
+), lm AS (
+  {T.oracle_bigram_lm_scores()}
+)
+SELECT e.doc_id, e.n_tokens, e.entropy_e6, k.kl_e6, l.nll_e3
+FROM ent e
+JOIN klq k USING (doc_id)
+LEFT JOIN lm l USING (doc_id)"""
+
+
+@register("corpus_quality_report", _oracle_quality_report())
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-document quality score card: token entropy
+    (diversity), KL divergence vs the corpus (domain outlierness), and
+    bigram LM negative log likelihood (transition probability) in one
+    frame — what a cleaning pipeline thresholds or a curriculum
+    sampler buckets on. Scale: all three signals derive from
+    postings-shaped aggregations of the SAME exploded-token frame;
+    entropy's and KL's identical (doc_id, token) count subplans plan
+    one Exchange that Spark's ReuseExchange shares, and the final
+    joins are co-partitioned on doc_id. Docs with <2 tokens carry NULL
+    nll_e3 (no bigrams), mirrored by the oracle's LEFT JOIN."""
+    docs = _table(spark, sf_dir, "documents")
+    ent = T.token_entropy(docs)
+    kl = T.kl_divergence_scores(docs).select("doc_id", "kl_e6")
+    lm = T.bigram_lm_scores(docs).select("doc_id", "nll_e3")
+    return (
+        ent.join(kl, "doc_id")
+        .join(lm, "doc_id", "left")
+        .select("doc_id", "n_tokens", "entropy_e6", "kl_e6", "nll_e3")
+    )

@@ -391,3 +391,14 @@ def test_unhinted_joins_respect_size_config(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         clear_cached_plans(spark, "query")
+
+
+def test_quality_report_reuses_postings_exchange(spark):
+    """The composed quality score card derives its signals from the
+    same (doc_id, token) postings frame: the executed plan must REUSE
+    the postings exchange across signals rather than re-shuffling the
+    exploded token stream per signal."""
+    df = Q.queries()["corpus_quality_report"](spark, SF_DIR)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
