@@ -50,7 +50,11 @@ def ensure_bucketed(
     out = {name: f"bkt_{tag}_{name}" for name in _FACT_KEYS}
     if all(spark.catalog.tableExists(t) for t in out.values()):
         return out
-    location = os.path.join(tempfile.gettempdir(), f"seh_bucketed_{tag}")
+    # a FRESH directory per materialization: within a session the
+    # catalog check above short-circuits, and a fixed shared path
+    # would let two concurrent sessions overwrite files the other's
+    # registered tables are still reading
+    location = tempfile.mkdtemp(prefix=f"seh_bucketed_{tag}_")
     return materialize_bucketed(
         spark,
         sf_dir,

@@ -279,6 +279,7 @@ _HH_STATE_SCHEMA = StructType(
     [
         StructField("toks", ArrayType(StringType())),
         StructField("cnts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
     ]
 )
 _HH_OUT_SCHEMA = StructType(
@@ -287,6 +288,11 @@ _HH_OUT_SCHEMA = StructType(
         StructField("token", StringType()),
         StructField("cnt_lb", LongType()),
         StructField("rank", LongType()),
+        # cumulative rows processed for the group — strictly grows per
+        # trigger, so MAX(n_seen) identifies a group's FINAL emission
+        # in an update-mode sink (the catalog contract check needs the
+        # final summary, not the union of all triggers' heads)
+        StructField("n_seen", LongType()),
     ]
 )
 
@@ -297,23 +303,28 @@ def _hh_update_fn(k: int, top_n: int):
     ) -> Iterable[pd.DataFrame]:
         (etype,) = key
         counters: dict = {}
+        n_seen = 0
         if state.exists:
-            toks, cnts = state.get
+            toks, cnts, n_seen = state.get
             counters = dict(zip(toks, cnts))
+            n_seen = int(n_seen or 0)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            n_seen += len(pdf)
             for tok, c in pdf["token"].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
             if len(counters) > k:
                 sub = sorted(counters.values(), reverse=True)[k]
                 counters = {t: c - sub for t, c in counters.items() if c > sub}
-        state.update((list(counters.keys()), [int(v) for v in counters.values()]))
+        state.update(
+            (list(counters.keys()), [int(v) for v in counters.values()], n_seen)
+        )
         head = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
         yield pd.DataFrame(
-            [(etype, t, int(c), i + 1) for i, (t, c) in enumerate(head)],
-            columns=["event_type", "token", "cnt_lb", "rank"],
-        ).astype({"cnt_lb": "int64", "rank": "int64"})
+            [(etype, t, int(c), i + 1, n_seen) for i, (t, c) in enumerate(head)],
+            columns=["event_type", "token", "cnt_lb", "rank", "n_seen"],
+        ).astype({"cnt_lb": "int64", "rank": "int64", "n_seen": "int64"})
 
     return fn
 
