@@ -2836,3 +2836,94 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lm, "doc_id", "left")
         .select("doc_id", "n_tokens", "entropy_e6", "kl_e6", "nll_e3")
     )
+
+
+def _sessionize_hub_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Private hub for the sessionize twin: materialized once per
+    (session, sf_dir), then ONE sentinel event is appended through the
+    real write path. The sentinel's broker-assigned enqueuedTime is
+    wall-clock 'now' — years past the testdata's event times — so the
+    final micro-batch advances the watermark beyond every real
+    session's end and append mode flushes ALL of them (without it, the
+    last hour of sessions stays open forever and the entry could only
+    be a weak subset check). The sentinel carries its own user key and
+    is filtered out of the result."""
+    import os as _os
+    import tempfile as _tf
+
+    from spark_eventhubs_spark.sources.datasource import (
+        materialize_hub,
+        register_eventhubs,
+    )
+
+    def _build():
+        d = _os.path.join(_tf.mkdtemp(prefix="seh_sesshub_"), "events")
+        materialize_hub(spark, sf_dir, d)
+        register_eventhubs(spark)
+        sent = spark.createDataFrame([("sentinel",)], "body string").select(
+            "body",
+            F.create_map(
+                F.lit("user_id"), F.lit("zz_sentinel"),
+                F.lit("event_type"), F.lit("sentinel"),
+            ).alias("properties"),
+        )
+        sent.write.format("eventhubs").mode("append").option("path", d).save()
+        return d
+
+    return cache_dataframe(spark, ("sesshub_dir", sf_dir), _build)
+
+
+@register(
+    "stream_sessionize",
+    oracle_hub_cte()
+    + """
+, ordered AS (
+  SELECT user_id_str, enq_us,
+    CASE WHEN enq_us - LAG(enq_us) OVER w > 1800000000
+         OR LAG(enq_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM hub
+  WINDOW w AS (PARTITION BY user_id_str ORDER BY enq_us, partition, sequenceNumber)
+), sess AS (
+  SELECT user_id_str, enq_us,
+    SUM(new_sess) OVER (PARTITION BY user_id_str
+      ORDER BY enq_us, user_id_str ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id_str, CAST(MIN(enq_us) AS BIGINT) AS start_us,
+  CAST(MAX(enq_us) AS BIGINT) AS last_us, COUNT(*) AS n_events
+FROM sess GROUP BY user_id_str, sid""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization under the FULL batch oracle: the
+    session_window + watermark twin runs across rate-limited
+    micro-batches over a private hub whose appended sentinel event
+    (see _sessionize_hub_dir) pushes the watermark past every real
+    session, so append mode emits the COMPLETE session set — which
+    must hash-match the batch gaps-and-islands oracle exactly
+    (session_window merges at diff <= gap, verified == the oracle's
+    `> gap` split rule). Scale: state is O(open sessions), bounded by
+    the watermark; one shuffle on the session key."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_sessionize
+
+    path = _sessionize_hub_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    name = f"cat_ssess_{run}"
+    n_events = _table(spark, sf_dir, "events").count()
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", path)
+        .option("eventhubs.maxEventsPerTrigger", str(max(500, n_events // 4 + 1)))
+        .option("eventhubs.consumerGroup", name)
+        .load()
+    )
+    sess = streaming_sessionize(sdf, gap="30 minutes", delay="1 hour")
+    _run_stream_to_memory(sess, name, available_now=False, mode="append")
+    gap_us = 30 * 60 * 1_000_000
+    return spark.sql(
+        f"""SELECT user_id AS user_id_str,
+                   unix_micros(session_start) AS start_us,
+                   unix_micros(session_end) - {gap_us} AS last_us,
+                   n_events
+            FROM {name}
+            WHERE user_id != 'zz_sentinel'"""
+    )
