@@ -2978,3 +2978,45 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {name}
             WHERE user_id != 'zz_sentinel'"""
     )
+
+
+@register(
+    "g3_daily_reconciliation",
+    """WITH a AS (
+  SELECT o_orderdate AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS ordered_c
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT l_shipdate AS d,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS shipped_c
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(epoch_us(COALESCE(a.d, b.d)) AS BIGINT) AS day_us,
+  a.ordered_c, b.shipped_c
+FROM a FULL JOIN b ON a.d = b.d""",
+)
+def g3_daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the one join type the catalog did
+    not yet exercise: daily ordered revenue vs daily shipped revenue,
+    keeping days present on either side only (ship dates trail order
+    dates by months, so right-only rows genuinely exist and FULL !=
+    LEFT). Scale: both sides pre-aggregate to |days| rows before the
+    join, so the full-outer join touches two tiny co-partitioned
+    frames — the standard ledger-reconciliation topology."""
+    o = _table(spark, sf_dir, "orders")
+    l = _table(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderdate").alias("d_a")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("ordered_c")
+    )
+    b = l.groupBy(F.col("l_shipdate").alias("d_b")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("shipped_c")
+    )
+    return (
+        a.join(b, a["d_a"] == b["d_b"], "full_outer")
+        .select(
+            F.unix_micros(F.coalesce(F.col("d_a"), F.col("d_b")).cast("timestamp"))
+            .alias("day_us"),
+            "ordered_c",
+            "shipped_c",
+        )
+    )

@@ -345,7 +345,7 @@ _LAZY_AUDIT_ENTRIES = [
     "corpus_pii_scan", "corpus_repetition_stats",
     "corpus_quantize_embeddings", "corpus_source_quality",
     "corpus_temperature_mix", "text_bigram_lm", "text_token_entropy",
-    "text_kl_divergence", "multimodal_metadata",
+    "text_kl_divergence", "g3_daily_reconciliation", "multimodal_metadata",
     "multimodal_frame_sample", "multimodal_bmp_stats",
 ]
 
