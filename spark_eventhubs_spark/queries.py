@@ -94,7 +94,7 @@ _DRIVER_GREEN = frozenset({
     # round's local 101/101 gate — listed here so the pending set
     # stays <= the driver's ~50-entry window and every genuinely new
     # or changed entry gets a driver row this round
-    "multimodal_metadata", "multimodal_frame_sample",
+    "multimodal_metadata", "multimodal_frame_sample", "text_top_ngrams",
     "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
     "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
@@ -3018,5 +3018,42 @@ def g3_daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_us"),
             "ordered_c",
             "shipped_c",
+        )
+    )
+
+
+@register(
+    "g4_grouping_sets_profile",
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (EXTRACT(year FROM o_orderdate)))""",
+)
+def g4_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over two INDEPENDENT dimensions —
+    revenue by priority AND revenue by year in one pass (neither
+    ROLLUP's hierarchy nor CUBE's full cross: exactly the two
+    requested groupings). Scale: Spark expands both sets in ONE Expand
+    (rows x 2) with map-side partial aggregation before a single
+    shuffle — half the scans of running the two groupBys separately.
+    Neither dimension is ever NULL in the data, so COALESCE('ALL')
+    disambiguates the inactive-dimension slots identically in both
+    engines."""
+    o = _table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("string").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        base.groupingSets([["priority"], ["o_year"]], "priority", "o_year")
+        .agg(F.sum("cents").alias("revenue_c"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_year"), F.lit("ALL")).alias("o_year"),
+            "revenue_c",
+            "n_orders",
         )
     )

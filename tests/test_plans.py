@@ -345,7 +345,8 @@ _LAZY_AUDIT_ENTRIES = [
     "corpus_pii_scan", "corpus_repetition_stats",
     "corpus_quantize_embeddings", "corpus_source_quality",
     "corpus_temperature_mix", "text_bigram_lm", "text_token_entropy",
-    "text_kl_divergence", "g3_daily_reconciliation", "multimodal_metadata",
+    "text_kl_divergence", "g3_daily_reconciliation",
+    "g4_grouping_sets_profile", "multimodal_metadata",
     "multimodal_frame_sample", "multimodal_bmp_stats",
 ]
 
@@ -402,3 +403,11 @@ def test_quality_report_reuses_postings_exchange(spark):
     df.collect()  # AQE finalizes reuse at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """Explicit GROUPING SETS must plan ONE Expand + one shuffle (the
+    whole point vs running two groupBys = two scans)."""
+    simple = _explain(Q.queries()["g4_grouping_sets_profile"](spark, SF_DIR), "simple")
+    assert simple.count("Expand") == 1
+    assert simple.count("Scan parquet") == 1
