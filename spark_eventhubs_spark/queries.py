@@ -25,6 +25,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_eventhubs_spark.operators import clustering as CL
 from spark_eventhubs_spark.operators import corpus as C
 from spark_eventhubs_spark.operators import dedup as D
 from spark_eventhubs_spark.operators import multimodal as M
@@ -95,6 +96,13 @@ _DRIVER_GREEN = frozenset({
     # stays <= the driver's ~50-entry window and every genuinely new
     # or changed entry gets a driver row this round
     "multimodal_metadata", "multimodal_frame_sample", "text_top_ngrams",
+    # text_length_histogram / corpus_pack_documents / corpus_pii_scan:
+    # last driver-green r03, their code paths untouched since (r5's
+    # corpus.py change is temperature_mix only; the histogram is an
+    # inline expression), re-verified by this round's local full-
+    # catalog gate — listed so the three new clustering entries fit
+    # inside the driver's ~50-entry window and get driver rows
+    "text_length_histogram", "corpus_pack_documents", "corpus_pii_scan",
     "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
     "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
@@ -3057,3 +3065,44 @@ def g4_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# =====================================================================
+# Embedding clustering + semantic dedup (operators/clustering.py)
+# =====================================================================
+
+@register("embed_kmeans_assign", CL.oracle_kmeans_assign())
+def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (2 Lloyd iterations, k=8) with an EXACT
+    oracle: centroids are integer element-wise sums of floor-quantized
+    members (order-independent, no float-mean drift) and every cosine
+    is the shared sequential fold. Scale: each iteration is ONE
+    zero-shuffle Arrow pass emitting <= k partials per batch (the
+    treeAggregate shape); the final assignment is another zero-shuffle
+    pass with the codebook in the task closure."""
+    return CL.kmeans_assign(_table(spark, sf_dir, "embeddings"))
+
+
+# tau 0.35: the synthetic embeddings top out at pairwise cos ~0.51
+# (see embed_neardup_pairs note), so a paper-typical 0.95 cut would be
+# vacuous; 0.35 drops a real ~18% of vectors at sf0.01.
+@register("embed_semdedup", CL.oracle_semdedup())
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then inside each cluster flag every vector with a smaller-id
+    neighbor above the cosine threshold. The exists-smaller-witness
+    rule is order-independent, hence exactly SQL-mirrorable. Scale:
+    one shuffle on cluster_id; quadratic screening is bounded per
+    cluster, and SemDeDup's contract (k ~ n/1000) keeps clusters
+    small at any corpus size."""
+    return CL.semdedup(_table(spark, sf_dir, "embeddings"))
+
+
+@register("embed_label_centroids", CL.oracle_label_centroids())
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators (supervised twin of k-means)
+    on the pure-JVM path: posexplode + groupBy(label, dim) with
+    map-side combine, emitted as exact integer (count, quantized sum)
+    pairs. Shuffle volume is |partitions| x |labels| x dim combiner
+    rows — independent of corpus size."""
+    return CL.label_centroids(_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,118 @@
+"""Clustering + SemDeDup operators (operators/clustering.py).
+
+The DuckDB hash-equivalence of the catalog entries is covered by
+scripts/check_oracle.py / the driver gate; these tests pin the
+properties the oracle cannot see: partition-order independence of the
+integer-sum centroids, the SemDeDup witness rule, and the plan shapes
+(zero-shuffle Lloyd passes, single cluster_id shuffle)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+
+from spark_eventhubs_spark.operators import clustering as CL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _rows(df):
+    return sorted((r["vec_id"], r["cluster_id"], r["score_e6"]) for r in df.collect())
+
+
+def test_kmeans_assignment_partition_invariant(spark, emb):
+    """Integer-sum centroids make the Lloyd update order-independent:
+    the same data under different partitionings must produce the
+    bit-identical assignment (a float-mean implementation fails this
+    in the last ulp)."""
+    a = _rows(CL.kmeans_assign(emb.repartition(7)))
+    b = _rows(CL.kmeans_assign(emb.repartition(3)))
+    assert a == b and len(a) == emb.count()
+
+
+def test_kmeans_clusters_nonempty_and_scores_bounded(spark, emb):
+    rows = CL.kmeans_assign(emb).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+        assert -1_000_000 <= r["score_e6"] <= 1_000_000
+    assert set(by_cluster) == set(range(CL.KMEANS_K))
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark, emb):
+    """A cell that captures no members must keep its previous centroid
+    (the oracle's COALESCE arm). Forcing k close to n makes some seed
+    cells lose to others; the function must still return k centroids,
+    one per seed cid."""
+    tiny = emb.limit(20).cache()
+    cents = CL.kmeans_centroids(tiny, k=16, iters=2)
+    assert [cid for cid, _ in cents] == list(range(16))
+    assert all(len(v) == CL.DIM for _, v in cents)
+    tiny.unpersist()
+
+
+def test_semdedup_witness_rule_against_numpy(spark, emb):
+    """Every flagged vector has >= n_dups smaller-id same-cluster
+    witnesses above tau; every kept vector has none — recomputed
+    independently with numpy on the collected data."""
+    out = {r["vec_id"]: r for r in CL.semdedup(emb).collect()}
+    data = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in data])
+    X = np.stack([np.array(r["embedding"], dtype=np.float64) for r in data])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    clusters = np.array([out[int(i)]["cluster_id"] for i in ids])
+    for c in np.unique(clusters):
+        idx = np.where(clusters == c)[0]
+        Xi = X[idx]
+        G = np.zeros((len(idx), len(idx)))
+        for d in range(Xi.shape[1]):
+            G = G + np.outer(Xi[:, d], Xi[:, d])
+        rn = np.sqrt(np.cumsum(Xi * Xi, axis=1)[:, -1])
+        E = np.floor(G / (rn[:, None] * rn[None, :]) * 1e6)
+        for ii, vid in enumerate(ids[idx]):
+            nd = int((E[ii, :ii] >= CL.SEMDEDUP_TAU_E6).sum())
+            assert out[int(vid)]["n_dups"] == nd
+            assert out[int(vid)]["keep"] == (1 if nd == 0 else 0)
+
+
+def test_semdedup_drops_nonvacuous_fraction(spark, emb):
+    agg = CL.semdedup(emb).groupBy().sum("keep").collect()[0][0]
+    n = emb.count()
+    assert 0 < agg < n  # both kept and dropped rows exist
+
+
+def test_label_centroids_exact_vs_numpy(spark, emb):
+    rows = CL.label_centroids(emb).collect()
+    data = emb.select("label", "embedding").collect()
+    acc: dict = {}
+    for r in data:
+        v = np.floor(np.array(r["embedding"], dtype=np.float64) * CL.KMEANS_Q
+                     ).astype(np.int64)
+        n, s = acc.get(r["label"], (0, np.zeros(CL.DIM, dtype=np.int64)))
+        acc[r["label"]] = (n + 1, s + v)
+    assert len(rows) == len(acc) * CL.DIM
+    for r in rows:
+        n, s = acc[r["label"]]
+        assert r["n_vecs"] == n and r["csum"] == int(s[r["i"]])
+
+
+def test_kmeans_plan_zero_shuffle(spark, emb):
+    plan = CL.kmeans_assign(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # codebook rides in the closure
+
+
+def test_semdedup_plan_single_cluster_shuffle(spark, emb):
+    plan = CL.semdedup(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the cluster_id hash partitioning
+
+
+def test_label_centroids_partial_aggregation(spark, emb):
+    """posexplode path must keep map-side combine: two HashAggregates
+    (partial + final) around a single Exchange."""
+    plan = CL.label_centroids(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
