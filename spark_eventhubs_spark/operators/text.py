@@ -716,3 +716,105 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e3
 FROM contrib GROUP BY 1
 ORDER BY score_e3 DESC, doc_id ASC
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------
+# Gopher-style document quality filters
+# ---------------------------------------------------------------------
+
+# MassiveText/Gopher repetition + quality rules (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", table A1), with thresholds
+# adapted to the synthetic corpus' observed ranges (10-99 words, mean
+# word length ~4.5, heavy small-vocab repetition) so each rule
+# genuinely rejects documents instead of being vacuous.
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MWL_BP = 42_000  # mean word length >= 4.2 chars
+GOPHER_MAX_MWL_BP = 48_000  # mean word length <= 4.8 chars
+GOPHER_MAX_DUP_BP = 6_000   # <= 60% duplicate word occurrences
+GOPHER_MAX_TOP_BP = 1_200   # top word <= 12% of the document
+
+
+def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style per-document quality signals + keep
+    flag, entirely in JVM expressions (narrow, zero shuffle):
+
+    - n_words, mean word length, duplicate-word fraction;
+    - top_word_bp: the most frequent word's share. Computed WITHOUT
+      exploding: sort the token array and fold it once, tracking the
+      longest run of equal adjacent tokens — a per-row O(n log n)
+      higher-order aggregate instead of an explode + groupBy + window
+      (which would shuffle corpus_tokens rows at scale).
+
+    All ratios are integer basis points with a pinned op order
+    (floor(10000 * a / b)) so both engines floor the same double."""
+    toks = tokens_col(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _merge(acc, w):
+        run = (
+            F.when(w == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_count = F.aggregate(
+        F.sort_array(toks), zero, _merge, lambda acc: acc["best"]
+    )
+    mwl_bp = F.floor(F.lit(10000) * sum_len / n_words).cast("long")
+    dup_bp = F.floor(F.lit(10000) * (n_words - n_distinct) / n_words).cast("long")
+    top_bp = F.floor(F.lit(10000) * max_count / n_words).cast("long")
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl_bp.between(GOPHER_MIN_MWL_BP, GOPHER_MAX_MWL_BP)
+        & (dup_bp <= GOPHER_MAX_DUP_BP)
+        & (top_bp <= GOPHER_MAX_TOP_BP)
+    )
+    return df.select(
+        F.col("doc_id"),
+        n_words.alias("n_words"),
+        mwl_bp.alias("mean_word_len_bp"),
+        dup_bp.alias("dup_word_bp"),
+        top_bp.alias("top_word_bp"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def oracle_gopher_filters() -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), t AS (SELECT doc_id, unnest(toks) AS w FROM base),
+mc AS (
+  SELECT doc_id, MAX(c) AS mc
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1
+), f AS (
+  SELECT b.doc_id,
+    CAST(len(b.toks) AS BIGINT) AS n_words,
+    CAST(FLOOR(10000 * list_sum(list_transform(b.toks, x -> length(x))) / len(b.toks)) AS BIGINT) AS mean_word_len_bp,
+    CAST(FLOOR(10000 * (len(b.toks) - len(list_distinct(b.toks))) / len(b.toks)) AS BIGINT) AS dup_word_bp,
+    CAST(FLOOR(10000 * mc.mc / len(b.toks)) AS BIGINT) AS top_word_bp
+  FROM base b JOIN mc USING (doc_id)
+)
+SELECT doc_id, n_words, mean_word_len_bp, dup_word_bp, top_word_bp,
+  CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+    AND mean_word_len_bp BETWEEN {GOPHER_MIN_MWL_BP} AND {GOPHER_MAX_MWL_BP}
+    AND dup_word_bp <= {GOPHER_MAX_DUP_BP}
+    AND top_word_bp <= {GOPHER_MAX_TOP_BP}
+    THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM f"""

@@ -96,13 +96,15 @@ _DRIVER_GREEN = frozenset({
     # stays <= the driver's ~50-entry window and every genuinely new
     # or changed entry gets a driver row this round
     "multimodal_metadata", "multimodal_frame_sample", "text_top_ngrams",
-    # text_length_histogram / corpus_pack_documents / corpus_pii_scan:
-    # last driver-green r03, their code paths untouched since (r5's
-    # corpus.py change is temperature_mix only; the histogram is an
-    # inline expression), re-verified by this round's local full-
-    # catalog gate — listed so the three new clustering entries fit
-    # inside the driver's ~50-entry window and get driver rows
+    # text_length_histogram / corpus_pack_documents / corpus_pii_scan /
+    # corpus_repetition_stats: last driver-green r03, their code paths
+    # untouched since (r5's corpus.py change is temperature_mix only;
+    # the histogram is an inline expression), re-verified by this
+    # round's local full-catalog gate — listed so the four new
+    # clustering/quality entries fit inside the driver's ~50-entry
+    # window and get driver rows
     "text_length_histogram", "corpus_pack_documents", "corpus_pii_scan",
+    "corpus_repetition_stats",
     "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
     "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
@@ -3106,3 +3108,15 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Shuffle volume is |partitions| x |labels| x dim combiner
     rows — independent of corpus size."""
     return CL.label_centroids(_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_gopher_filters", T.oracle_gopher_filters())
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality gate: per-doc word count, mean word
+    length, duplicate-word fraction, top-word share, and the composed
+    keep flag (thresholds adapted to the synthetic corpus so every
+    rule actively rejects). Scale: entirely narrow JVM expressions —
+    the top-word share folds a sorted token array per row instead of
+    exploding corpus_tokens rows into a shuffle; rejects ~60% of docs
+    before any downstream wide stage."""
+    return T.gopher_filters(_table(spark, sf_dir, "documents"))

@@ -366,3 +366,39 @@ def test_kl_divergence_hand_computed(spark):
     assert got[1] == (4, s1 // 4 - ln(4) + ln(8))    # == ln2 ~ 693147
     assert got[2] == (4, s2 // 4 - ln(4) + ln(8))
     assert got[1][1] == got[2][1] == ln(8) - ln(4)
+
+
+def test_gopher_filters_hand_computed(spark):
+    """Pin the Gopher signal math on a tiny corpus, especially the
+    sorted-run-fold top-word share (vs an explode/groupBy mental
+    model) and the keep thresholds."""
+    from spark_eventhubs_spark.operators.text import gopher_filters
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "go go go go")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_filters(df).collect()}
+    r1 = got[1]  # 6 words, 17 chars of words, 'the' twice
+    assert r1["n_words"] == 6
+    assert r1["mean_word_len_bp"] == 10000 * 17 // 6
+    assert r1["dup_word_bp"] == 10000 * 1 // 6       # one duplicate occurrence
+    assert r1["top_word_bp"] == 10000 * 2 // 6       # 'the' = 2/6
+    assert r1["keep"] == 0                           # too short (< 25 words)
+    r2 = got[2]  # 4x 'go'
+    assert r2["n_words"] == 4 and r2["top_word_bp"] == 10000
+    assert r2["dup_word_bp"] == 10000 * 3 // 4 and r2["keep"] == 0
+
+
+def test_gopher_filters_narrow_plan_and_split(spark):
+    """Zero shuffle (pure per-row expressions) and a non-vacuous
+    keep/reject split on the real corpus."""
+    from tests.conftest import SF_DIR
+    from spark_eventhubs_spark.operators.text import gopher_filters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = gopher_filters(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    kept = out.agg({"keep": "sum"}).collect()[0][0]
+    assert 0 < kept < docs.count()
