@@ -802,3 +802,98 @@ SELECT sh.doc_id,
   CAST((10000 * SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dup_bp
 FROM sh JOIN freq USING (shingle)
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------
+# Passage (chunk) level exact dedup with cleaned-text output
+# ---------------------------------------------------------------------
+
+CHUNK_W = 8  # tokens per passage chunk
+
+
+def chunk_dedup(
+    df: DataFrame, w: int = CHUNK_W, text_col: str = "text"
+) -> DataFrame:
+    """Passage-level exact dedup (the CCNet/RefinedWeb line-dedup
+    shape, over fixed ``w``-token chunks because the corpus has no
+    newlines): a chunk that appears in more than one document is kept
+    only in its canonical owner (the smallest doc_id containing it);
+    every other occurrence is dropped, and each doc's surviving chunks
+    are re-joined in order into ``clean_text``.
+
+    Scale topology:
+    - chunking is a narrow JVM transform (sequence + slice), ~n/w
+      chunk rows after ONE explode;
+    - ownership is a groupBy(chunk) agg — one shuffle of chunk rows
+      with map-side combine;
+    - the chunk->stats equi-join is skew-prone at scale (a boilerplate
+      chunk appears in millions of docs); AQE's skew-join split
+      handles it, and the chunk key can be swapped for its md5 to
+      bound key width;
+    - reassembly is a groupBy(doc_id) with an order-restoring
+      array_sort over (position, chunk) structs, so the result is
+      deterministic despite collect_list's arbitrary order.
+    """
+    toks = tokens_col(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.array_join(F.slice(toks, j * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = df.select(
+        F.col("doc_id"), F.posexplode(chunk_arr).alias("j", "chunk")
+    )
+    stats = chunks.groupBy("chunk").agg(
+        F.min("doc_id").alias("owner"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    flagged = chunks.join(stats, "chunk").select(
+        "doc_id",
+        "j",
+        "chunk",
+        F.when(
+            (F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("keep"),
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("keep") == 1, F.struct(F.col("j"), F.col("chunk"))
+                )
+            )
+        ),
+        lambda x: x["chunk"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.lit(1) - F.col("keep")).cast("long").alias("n_dropped"),
+        F.array_join(kept_sorted, " ").alias("clean_text"),
+    )
+
+
+def oracle_chunk_dedup(w: int = CHUNK_W) -> str:
+    from spark_eventhubs_spark.operators.text import _oracle_tokens
+
+    return f"""WITH base AS (
+  SELECT doc_id, {_oracle_tokens('text')} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, j, array_to_string(toks[(j*{w})+1 : (j+1)*{w}], ' ') AS chunk
+  FROM base, range(0, 64) t(j)
+  WHERE j*{w} < len(toks)
+), st AS (
+  SELECT chunk, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
+  FROM ch GROUP BY 1
+), k AS (
+  SELECT c.doc_id, c.j, c.chunk,
+    CASE WHEN st.nd >= 2 AND c.doc_id <> st.owner THEN 0 ELSE 1 END AS keep
+  FROM ch c JOIN st USING (chunk)
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
+  COALESCE(string_agg(chunk, ' ' ORDER BY j) FILTER (keep = 1), '') AS clean_text
+FROM k GROUP BY 1"""

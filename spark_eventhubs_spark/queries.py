@@ -104,7 +104,7 @@ _DRIVER_GREEN = frozenset({
     # clustering/quality entries fit inside the driver's ~50-entry
     # window and get driver rows
     "text_length_histogram", "corpus_pack_documents", "corpus_pii_scan",
-    "corpus_repetition_stats",
+    "corpus_repetition_stats", "corpus_hash_split",
     "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
     "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
@@ -3120,3 +3120,14 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploding corpus_tokens rows into a shuffle; rejects ~60% of docs
     before any downstream wide stage."""
     return T.gopher_filters(_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_chunk_clean", D.oracle_chunk_dedup())
+def dedup_chunk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup producing cleaned text: 8-token
+    chunks duplicated across docs survive only in their smallest-id
+    owner; every doc reports chunk/drop counts plus the re-joined
+    clean_text. Scale: one explode (n/8 chunk rows), one chunk-keyed
+    agg + equi-join (AQE skew-split handles boilerplate hot keys),
+    one doc_id reassembly agg — the CCNet line-dedup topology."""
+    return D.chunk_dedup(_table(spark, sf_dir, "documents"))

@@ -402,3 +402,56 @@ def test_gopher_filters_narrow_plan_and_split(spark):
     assert "Exchange" not in plan
     kept = out.agg({"keep": "sum"}).collect()[0][0]
     assert 0 < kept < docs.count()
+
+
+def test_chunk_dedup_hand_computed(spark):
+    """Passage dedup on a 3-doc corpus with w=2: a chunk shared by
+    docs 1 and 2 survives only in doc 1 (the owner); doc 3 is
+    untouched; clean_text preserves original chunk order."""
+    from spark_eventhubs_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # chunks: "a b", "c d"
+            (2, "a b x y"),          # "a b" duplicated -> dropped here
+            (3, "p q r"),            # "p q", "r" (partial tail chunk)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup(df, w=2).collect()}
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dropped"] == 0
+    assert got[1]["clean_text"] == "a b c d"
+    assert got[2]["n_chunks"] == 2 and got[2]["n_dropped"] == 1
+    assert got[2]["clean_text"] == "x y"
+    assert got[3]["n_chunks"] == 2 and got[3]["n_dropped"] == 0
+    assert got[3]["clean_text"] == "p q r"
+
+
+def test_chunk_dedup_fully_duplicated_doc_empties(spark):
+    from spark_eventhubs_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup(df, w=2).collect()}
+    assert got[1]["clean_text"] == "a b"
+    assert got[2]["clean_text"] == "" and got[2]["n_dropped"] == 1
+
+
+def test_chunk_dedup_topology(spark):
+    """Plan shape: exactly one explode (Generate) and shuffles only on
+    chunk (ownership agg + join) and doc_id (reassembly) — no extra
+    exchanges sneak in."""
+    from tests.conftest import SF_DIR
+    from spark_eventhubs_spark.operators.dedup import chunk_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = chunk_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 2  # chunk explode on both join inputs
+    # conservation: every chunk row lands exactly once
+    out = chunk_dedup(docs).agg({"n_chunks": "sum"}).collect()[0][0]
+    import math
+    exp = docs.selectExpr(
+        "ceil(size(filter(split(text, '\\\\s+'), x -> x != '')) / 8.0) AS c"
+    ).agg({"c": "sum"}).collect()[0][0]
+    assert out == exp
