@@ -105,6 +105,7 @@ _DRIVER_GREEN = frozenset({
     # window and get driver rows
     "text_length_histogram", "corpus_pack_documents", "corpus_pii_scan",
     "corpus_repetition_stats", "corpus_hash_split",
+    "corpus_stratified_sample",
     "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
     "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
@@ -3131,3 +3132,64 @@ def dedup_chunk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg + equi-join (AQE skew-split handles boilerplate hot keys),
     one doc_id reassembly agg — the CCNet line-dedup topology."""
     return D.chunk_dedup(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_curation_decisions",
+    f"""SELECT g.doc_id,
+  g.keep AS gopher_keep,
+  CAST(FLOOR(10000 * c.n_dropped / c.n_chunks) AS BIGINT) AS chunk_dup_bp,
+  CAST(COALESCE(s.keep, 1) AS INTEGER) AS sem_keep,
+  CAST(CASE WHEN g.keep = 1 AND COALESCE(s.keep, 1) = 1
+    AND FLOOR(10000 * c.n_dropped / c.n_chunks) <= 5000
+    THEN 1 ELSE 0 END AS INTEGER) AS final_keep
+FROM ({{gopher}}) g
+JOIN ({{chunk}}) c USING (doc_id)
+LEFT JOIN ({{sem}}) s ON s.vec_id = g.doc_id""".format(
+        gopher=T.oracle_gopher_filters(),
+        chunk=D.oracle_chunk_dedup(),
+        sem=CL.oracle_semdedup(),
+    ),
+)
+def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-document curation decision table — the
+    training-data pipeline's keep/drop ledger joining three families:
+    Gopher quality gate, passage-dedup contamination fraction, and
+    SemDeDup semantic screening (LEFT join: docs without an embedding
+    pass the semantic screen by default, as at sf0.1 where only a
+    subset is embedded). Scale: the three legs are the already-audited
+    plans (narrow gate, chunk-keyed agg+join, cluster-bounded screen)
+    joined on the uniform doc_id key; nothing new shuffles wide."""
+    docs = _table(spark, sf_dir, "documents")
+    emb = _table(spark, sf_dir, "embeddings")
+    g = T.gopher_filters(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
+    c = D.chunk_dedup(docs).select(
+        "doc_id",
+        F.floor(F.lit(10000) * F.col("n_dropped") / F.col("n_chunks"))
+        .cast("long")
+        .alias("chunk_dup_bp"),
+    )
+    s = CL.semdedup(emb).select(
+        F.col("vec_id"), F.col("keep").alias("sem_keep_raw")
+    )
+    joined = (
+        g.join(c, "doc_id")
+        .join(s, g["doc_id"] == s["vec_id"], "left")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "chunk_dup_bp",
+            F.coalesce(F.col("sem_keep_raw"), F.lit(1)).alias("sem_keep"),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "gopher_keep",
+        "chunk_dup_bp",
+        "sem_keep",
+        (
+            (F.col("gopher_keep") == 1)
+            & (F.col("sem_keep") == 1)
+            & (F.col("chunk_dup_bp") <= 5000)
+        ).cast("int").alias("final_keep"),
+    )

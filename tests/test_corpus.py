@@ -455,3 +455,23 @@ def test_chunk_dedup_topology(spark):
         "ceil(size(filter(split(text, '\\\\s+'), x -> x != '')) / 8.0) AS c"
     ).agg({"c": "sum"}).collect()[0][0]
     assert out == exp
+
+
+def test_curation_decisions_compose(spark):
+    """final_keep is exactly the conjunction of the three component
+    signals, and the split is non-vacuous on the real corpus."""
+    from tests.conftest import SF_DIR
+    from spark_eventhubs_spark.queries import queries
+
+    out = queries()["corpus_curation_decisions"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    kept = 0
+    for r in out:
+        expect = int(
+            r["gopher_keep"] == 1
+            and r["sem_keep"] == 1
+            and r["chunk_dup_bp"] <= 5000
+        )
+        assert r["final_keep"] == expect
+        kept += r["final_keep"]
+    assert 0 < kept < len(out)
