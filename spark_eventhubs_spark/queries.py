@@ -105,7 +105,8 @@ _DRIVER_GREEN = frozenset({
     # window and get driver rows
     "text_length_histogram", "corpus_pack_documents", "corpus_pii_scan",
     "corpus_repetition_stats", "corpus_hash_split",
-    "corpus_stratified_sample",
+    "corpus_stratified_sample", "corpus_quantize_embeddings",
+    "corpus_source_quality",
     "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
     "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
@@ -3192,4 +3193,121 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sem_keep") == 1)
             & (F.col("chunk_dup_bp") <= 5000)
         ).cast("int").alias("final_keep"),
+    )
+
+
+@register(
+    "hub_funnel_stages",
+    oracle_hub_cte()
+    + """
+, t1s AS (
+  SELECT user_id_str AS u, MIN(enq_us) AS t1
+  FROM hub WHERE event_type = 'view' GROUP BY 1
+), t2s AS (
+  SELECT h.user_id_str AS u, MIN(h.enq_us) AS t2
+  FROM hub h JOIN t1s ON t1s.u = h.user_id_str
+  WHERE h.event_type = 'click' AND h.enq_us > t1s.t1 GROUP BY 1
+), t3s AS (
+  SELECT h.user_id_str AS u, MIN(h.enq_us) AS t3
+  FROM hub h JOIN t2s ON t2s.u = h.user_id_str
+  WHERE h.event_type = 'purchase' AND h.enq_us > t2s.t2 GROUP BY 1
+), c1 AS (SELECT COUNT(*) AS n_view FROM t1s
+), c2 AS (SELECT COUNT(*) AS n_click FROM t2s
+), c3 AS (SELECT COUNT(*) AS n_purchase FROM t3s
+)
+SELECT n_view, n_click, n_purchase,
+  CAST(FLOOR(10000 * n_click / n_view) AS BIGINT) AS click_conv_bp,
+  CAST(FLOOR(10000 * n_purchase / n_click) AS BIGINT) AS purchase_conv_bp
+FROM c1, c2, c3""",
+)
+def hub_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): per user,
+    the first view, the first click AFTER that view, the first
+    purchase AFTER that click; then stage-level distinct-user counts
+    and conversion rates. Scale: all three stage timestamps are
+    unbounded-frame conditional MINs over the SAME
+    Window.partitionBy(user) — Catalyst plans ONE Exchange on user_id
+    and evaluates the three chained windows on the co-partitioned
+    data (pinned in tests), vs the naive three-join form that
+    re-shuffles the events per stage. The final reduction is a
+    single-row global aggregate."""
+    from pyspark.sql import Window
+
+    hub = load_hub_flat(spark, sf_dir)
+    w = Window.partitionBy("user_id_str")
+    s1 = hub.select(
+        "user_id_str", "event_type", "enq_us",
+        F.min(F.when(F.col("event_type") == "view", F.col("enq_us"))).over(w).alias("t1"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("enq_us") > F.col("t1")),
+                   F.col("enq_us"))
+        ).over(w).alias("t2"),
+    )
+    s3 = s2.select(
+        "*",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("enq_us") > F.col("t2")),
+                   F.col("enq_us"))
+        ).over(w).alias("t3"),
+    )
+    per_user = s3.groupBy("user_id_str").agg(
+        F.max(F.col("t1").isNotNull().cast("int")).alias("r1"),
+        F.max(F.col("t2").isNotNull().cast("int")).alias("r2"),
+        F.max(F.col("t3").isNotNull().cast("int")).alias("r3"),
+    )
+    return per_user.agg(
+        F.sum("r1").alias("n_view"),
+        F.sum("r2").alias("n_click"),
+        F.sum("r3").alias("n_purchase"),
+    ).select(
+        "n_view", "n_click", "n_purchase",
+        F.floor(F.lit(10000) * F.col("n_click") / F.col("n_view"))
+        .cast("long").alias("click_conv_bp"),
+        F.floor(F.lit(10000) * F.col("n_purchase") / F.col("n_click"))
+        .cast("long").alias("purchase_conv_bp"),
+    )
+
+
+_DAY_US = 86_400_000_000
+
+@register(
+    "hub_retention_cohorts",
+    oracle_hub_cte()
+    + f"""
+, f AS (
+  SELECT user_id_str AS u,
+    CAST(FLOOR(MIN(enq_us) / {_DAY_US}) AS BIGINT) AS cohort_day
+  FROM hub GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id_str AS u,
+    CAST(FLOOR(enq_us / {_DAY_US}) AS BIGINT) AS d
+  FROM hub
+)
+SELECT f.cohort_day, a.d - f.cohort_day AS day_offset,
+  COUNT(*) AS n_users
+FROM a JOIN f USING (u)
+GROUP BY 1, 2""",
+)
+def hub_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by first-activity day,
+    counted on each later active day offset — the standard DAU
+    retention triangle. Scale: first-day and active-day frames both
+    reduce to |users| / |users x days| rows BEFORE the join, which is
+    then an equi-join of two compact frames on the uniform user key;
+    the final aggregate is |cohorts x offsets|."""
+    hub = load_hub_flat(spark, sf_dir)
+    f = hub.groupBy(F.col("user_id_str").alias("u")).agg(
+        F.floor(F.min("enq_us") / F.lit(_DAY_US)).cast("long").alias("cohort_day")
+    )
+    a = hub.select(
+        F.col("user_id_str").alias("u"),
+        F.floor(F.col("enq_us") / F.lit(_DAY_US)).cast("long").alias("d"),
+    ).distinct()
+    return (
+        a.join(f, "u")
+        .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )

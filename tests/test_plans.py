@@ -411,3 +411,38 @@ def test_grouping_sets_single_expand(spark):
     simple = _explain(Q.queries()["g4_grouping_sets_profile"](spark, SF_DIR), "simple")
     assert simple.count("Expand") == 1
     assert simple.count("Scan parquet") == 1
+
+
+def test_funnel_single_user_shuffle_three_windows(spark):
+    """hub_funnel_stages: the three chained conditional-min windows
+    must share ONE hashpartitioning(user_id) Exchange (plus the final
+    single-partition reduce), and column pruning must drop the hub
+    view's synthesized partition/sequenceNumber windows entirely —
+    the scan reads only ts/user_id/event_type."""
+    from spark_eventhubs_spark import queries as Q
+
+    df = Q._QUERIES["hub_funnel_stages"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Window") == 3  # funnel windows only; hub's pruned
+    assert "row_number" not in plan.lower()
+
+
+def test_retention_preaggregates_before_join(spark):
+    """hub_retention_cohorts: both join inputs must be aggregates
+    (first-day frame and distinct active-day frame) — the join never
+    sees raw event rows."""
+    from spark_eventhubs_spark import queries as Q
+
+    df = Q._QUERIES["hub_retention_cohorts"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    # conservation: every user appears in offset 0 of its own cohort
+    rows = df.collect()
+    total_day0 = sum(r["n_users"] for r in rows if r["day_offset"] == 0)
+    n_users = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert total_day0 == n_users
