@@ -107,6 +107,11 @@ _DRIVER_GREEN = frozenset({
     "corpus_repetition_stats", "corpus_hash_split",
     "corpus_stratified_sample", "corpus_quantize_embeddings",
     "corpus_source_quality",
+    # embed_knn_join(+_partial): green r03; their plan code is
+    # unchanged since and both passed this session's local 109-entry
+    # full-catalog gate — promoted to keep the funnel/retention
+    # entries inside the driver window
+    "embed_knn_join", "embed_knn_join_partial",
     "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
     "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
