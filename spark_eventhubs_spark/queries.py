@@ -3316,3 +3316,41 @@ def hub_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "layout_zorder_scan",
+    f"""WITH d AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+    CAST(FLOOR(epoch_us(ts) / {86_400_000_000}) AS BIGINT) AS day_abs
+  FROM events
+), m AS (SELECT MIN(day_abs) AS m0 FROM d)
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+  COUNT(DISTINCT user_id) AS n_users
+FROM d, m
+WHERE user_id BETWEEN 40 AND 60 AND day_abs - m0 BETWEEN 10 AND 19""",
+)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-dimensional slice (user range x day range) over the
+    z-ordered events layout (`layout.ensure_zordered`: Morton key of
+    (user_id, day_idx), range-partitioned + sorted at write). Results
+    are layout-independent — the oracle runs on the raw table — but
+    the layout gives every file a tight bounding box in BOTH
+    dimensions, so footer-stat pruning skips most of the corpus
+    (asserted vs a time-sorted layout in tests/test_layout.py).
+    Scale: this is the Delta/Iceberg OPTIMIZE ZORDER recipe from plain
+    Spark expressions; the scan reads only stat-overlapping row
+    groups, then one tiny global aggregate."""
+    from spark_eventhubs_spark import layout as L
+
+    path = L.ensure_zordered(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    sliced = ev.where(
+        F.col("user_id").between(40, 60) & F.col("day_idx").between(10, 19)
+    )
+    return sliced.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value_cents").alias("sum_value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
