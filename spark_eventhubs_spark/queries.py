@@ -3354,3 +3354,51 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_cents").alias("sum_value_cents"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "search_recall_at_k",
+    """SELECT method, k, n_hits,
+  CAST(FLOOR(10000 * n_hits / k) AS BIGINT) AS recall_bp
+FROM (
+  SELECT 'lsh' AS method, 10 AS k, COUNT(*) AS n_hits
+  FROM ({brute}) b JOIN ({lsh}) l USING (vec_id)
+  UNION ALL
+  SELECT 'ivf' AS method, 10 AS k, COUNT(*) AS n_hits
+  FROM ({brute}) b JOIN ({ivf}) i USING (vec_id)
+)""".format(
+        brute=S.oracle_brute_force_topk(query_vec_id=0, k=10),
+        lsh=S.oracle_lsh_ann_topk(query_vec_id=0, k=10),
+        ivf=S.oracle_ivf_ann_topk(query_vec_id=0, k=10),
+    ),
+)
+def search_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval evaluation harness as a query: recall@10 of the
+    LSH and IVF ANN paths against the brute-force ground truth for the
+    standard query vector — the number every ANN deployment must watch
+    when the index or the corpus changes. Scale: all three legs are
+    top-k frames (<= k rows each); the joins and the final union are
+    driver-trivial regardless of corpus size."""
+    emb = _table(spark, sf_dir, "embeddings")
+    brute = S.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    legs = []
+    for method, df in (
+        ("lsh", S.lsh_ann_topk(emb, query_vec_id=0, k=10)),
+        ("ivf", S.ivf_ann_topk(emb, query_vec_id=0, k=10)),
+    ):
+        hits = brute.join(df.select("vec_id"), "vec_id").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        legs.append(
+            hits.select(
+                F.lit(method).alias("method"),
+                F.lit(10).alias("k"),
+                "n_hits",
+            )
+        )
+    out = legs[0].unionAll(legs[1])
+    return out.select(
+        "method", "k", "n_hits",
+        F.floor(F.lit(10000) * F.col("n_hits") / F.col("k"))
+        .cast("long").alias("recall_bp"),
+    )
