@@ -805,6 +805,7 @@ def ivf_build_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list:
     """Materialize the IVF layout the scan-time operators only
     simulate: assign every vector to its nearest centroid and write
@@ -815,11 +816,16 @@ def ivf_build_index(
     instead of scanning everything and discarding.
 
     Centroids use the same deterministic seeding as
-    :func:`ivf_ann_topk` (first ``n_cells`` vectors by id; swap in
-    :func:`kmeans_refine_centroids` for trained cells — the layout is
-    identical). Assignment runs in the shared exact-arithmetic Arrow
-    kernel, so an indexed query returns bit-identical scores to the
-    scan-time operator. Returns the codebook as [(cid, centroid)].
+    :func:`ivf_ann_topk` (first ``n_cells`` vectors by id);
+    ``refine_iters > 0`` runs that many Lloyd updates through
+    ``operators.clustering.kmeans_centroids`` first — the
+    INTEGER-SUM variant, so a rebuild on the same corpus produces the
+    bit-identical codebook and cell layout regardless of input
+    partitioning (a float-mean refine drifts in the last ulp and can
+    flip boundary assignments between rebuilds). Assignment runs in
+    the shared exact-arithmetic Arrow kernel, so an indexed query
+    returns bit-identical scores to the scan-time operator. Returns
+    the codebook as [(cid, centroid)].
 
     Scale: the write shuffles on cell_id only (repartition before
     write keeps one file per cell per task wave); the codebook is C
@@ -833,6 +839,13 @@ def ivf_build_index(
         key=lambda r: r["cid"],
     )
     cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
+    if refine_iters > 0:
+        # function-level import: clustering imports this module
+        from spark_eventhubs_spark.operators.clustering import kmeans_centroids
+
+        cents = kmeans_centroids(
+            df, k=n_cells, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
 
     import numpy as np
 

@@ -116,3 +116,33 @@ def test_label_centroids_partial_aggregation(spark, emb):
     plan = CL.label_centroids(emb)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_index_refined_rebuild_deterministic(spark, emb, tmp_path):
+    """refine_iters uses the integer-sum k-means, so rebuilding the
+    index from differently-partitioned input yields the bit-identical
+    codebook and per-cell layout — the property that makes index
+    rebuilds reproducible (a float-mean refine can flip boundary
+    vectors between runs)."""
+    from spark_eventhubs_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_indexed,
+    )
+
+    d1, d2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    c1 = ivf_build_index(emb.repartition(7), d1, refine_iters=2)
+    c2 = ivf_build_index(emb.repartition(3), d2, refine_iters=2)
+    assert c1 == c2
+    a1 = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(f"{d1}/vectors").collect()
+    )
+    a2 = sorted(
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(f"{d2}/vectors").collect()
+    )
+    assert a1 == a2
+    # and the refined index still serves queries
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    got = ivf_query_indexed(spark, d1, qvec, k=5, exclude_id=0).collect()
+    assert len(got) == 5
