@@ -87,3 +87,32 @@ def test_zorder_scan_pushes_filters(spark):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(user_id,40)" in plan
     assert "LessThanOrEqual(day_idx,19)" in plan
+
+
+def test_zvalue_roundtrips_by_property():
+    """Property: de-interleaving the Morton key recovers both masked
+    inputs exactly, for arbitrary values (inputs beyond the bit budget
+    are masked, never folded)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def deinterleave(z, bits):
+        a = b = 0
+        for i in range(bits):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**40),
+        st.integers(min_value=0, max_value=2**40),
+        st.integers(min_value=1, max_value=31),
+    )
+    def check(a, b, bits):
+        mask = (1 << bits) - 1
+        z = L.zvalue_py(a, b, bits)
+        assert deinterleave(z, bits) == (a & mask, b & mask)
+        assert 0 <= z < 1 << (2 * bits)
+
+    check()
