@@ -134,6 +134,50 @@ def _final_assign_fn(cents, id_col, vec_col, with_vec=False):
     return fn
 
 
+def kmeans_partials(
+    df: DataFrame,
+    cents: list,
+    vec_col: str = "embedding",
+    q_scale: int = KMEANS_Q,
+) -> DataFrame:
+    """One Lloyd step's partials against FIXED centroids:
+    (cid, n, int_sum) rows, <= k per Arrow batch. Exposed separately
+    so incremental/streaming ingest can run the same step per
+    micro-batch: integer sums commute, so merging per-batch partials
+    over ANY split of the data equals the one-shot batch result
+    bit-for-bit (see :func:`merge_partial_rows`)."""
+    return df.select(F.col(vec_col)).mapInPandas(
+        _assign_partials_fn(cents, vec_col, q_scale),
+        schema="cid long, n long, s array<long>",
+    )
+
+
+def merge_partial_rows(acc: dict, rows) -> dict:
+    """Merge (cid, n, s) partial rows into ``acc`` ({cid: (n, [int])}).
+    Exact integer addition — associative and commutative, so the merge
+    order (across partitions, micro-batches, or repeated calls) can
+    never change the result."""
+    for r in rows:
+        n, s = acc.get(r["cid"], (0, None))
+        v = [int(x) for x in r["s"]]
+        acc[r["cid"]] = (
+            n + r["n"],
+            v if s is None else [a + b for a, b in zip(s, v)],
+        )
+    return acc
+
+
+def centroids_from_acc(cents: list, acc: dict) -> list:
+    """Finish a Lloyd update from merged partials: non-empty cells
+    take their integer sum vector as the new (un-normalized) centroid
+    direction; empty cells keep the previous centroid."""
+    return [
+        (cid, [float(x) for x in acc[cid][1]]) if cid in acc
+        else (cid, cvec)
+        for cid, cvec in cents
+    ]
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = KMEANS_K,
@@ -162,23 +206,8 @@ def kmeans_centroids(
         base = base.persist()
     try:
         for _ in range(iters):
-            partials = base.mapInPandas(
-                _assign_partials_fn(cents, vec_col, q_scale),
-                schema="cid long, n long, s array<long>",
-            ).collect()
-            acc: dict = {}
-            for r in partials:
-                n, s = acc.get(r["cid"], (0, None))
-                v = [int(x) for x in r["s"]]
-                acc[r["cid"]] = (
-                    n + r["n"],
-                    v if s is None else [a + b for a, b in zip(s, v)],
-                )
-            cents = [
-                (cid, [float(x) for x in acc[cid][1]]) if cid in acc
-                else (cid, cvec)
-                for cid, cvec in cents
-            ]
+            rows = kmeans_partials(base, cents, vec_col, q_scale).collect()
+            cents = centroids_from_acc(cents, merge_partial_rows({}, rows))
     finally:
         if iters > 1:
             base.unpersist()

@@ -146,3 +146,45 @@ def test_ivf_index_refined_rebuild_deterministic(spark, emb, tmp_path):
     qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
     got = ivf_query_indexed(spark, d1, qvec, k=5, exclude_id=0).collect()
     assert len(got) == 5
+
+
+def test_incremental_kmeans_equals_batch_over_stream(spark, emb, tmp_path):
+    """Streaming/incremental ingest of the SAME Lloyd step: file-stream
+    the corpus in 4 micro-batches, merge each batch's integer partials
+    with foreachBatch, and the accumulated centroids must equal the
+    one-shot batch update bit-for-bit — the integer-sum design is what
+    makes incremental centroid maintenance exact (a float-mean stream
+    would drift per batch split)."""
+    src = str(tmp_path / "stream_src")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    seeds_rows = sorted(
+        emb.where("vec_id < 8").select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    seeds = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in seeds_rows]
+
+    acc: dict = {}
+
+    def merge_batch(bdf, _bid):
+        rows = CL.kmeans_partials(bdf, seeds).collect()
+        CL.merge_partial_rows(acc, rows)
+
+    sdf = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    batch_rows = CL.kmeans_partials(emb, seeds).collect()
+    batch_acc = CL.merge_partial_rows({}, batch_rows)
+    assert acc == batch_acc
+    assert CL.centroids_from_acc(seeds, acc) == CL.centroids_from_acc(
+        seeds, batch_acc
+    )
