@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from spark_eventhubs_spark.operators import clustering as CL
 from spark_eventhubs_spark.operators import corpus as C
 from spark_eventhubs_spark.operators import dedup as D
+from spark_eventhubs_spark.operators import graph as G
 from spark_eventhubs_spark.operators import multimodal as M
 from spark_eventhubs_spark.operators import pipeline as P
 from spark_eventhubs_spark.operators import similarity as S
@@ -107,6 +108,11 @@ _DRIVER_GREEN = frozenset({
     "corpus_repetition_stats", "corpus_hash_split",
     "corpus_stratified_sample", "corpus_quantize_embeddings",
     "corpus_source_quality",
+    # text_winnow_fingerprints: green r03; its shared md5 kernel path
+    # stays driver-covered via the still-pending dedup_winnow_overlap
+    # entry, so this row is promoted to make room for the pagerank
+    # entry inside the window
+    "text_winnow_fingerprints",
     # embed_knn_join(+_partial): green r03; their plan code is
     # unchanged since and both passed this session's local 109-entry
     # full-catalog gate — promoted to keep the funnel/retention
@@ -3402,3 +3408,15 @@ def search_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(10000) * F.col("n_hits") / F.col("k"))
         .cast("long").alias("recall_bp"),
     )
+
+
+@register("graph_copurchase_pagerank", G.oracle_pagerank())
+def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the part co-purchase graph (3
+    iterations, damping 0.85): the iterative message-passing family
+    (operators/graph.py). Every contribution is an integer div and
+    every gather an integer SUM, so partition order cannot flip a
+    rank and the chained-CTE oracle matches bit-for-bit. Scale: one
+    orderkey self-join builds the bounded edge list; each iteration
+    is a co-partitioned edges-ranks join + node-keyed sum."""
+    return G.pagerank(_table(spark, sf_dir, "lineitem"))

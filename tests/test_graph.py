@@ -1,0 +1,44 @@
+"""Co-purchase PageRank (operators/graph.py)."""
+
+from tests.conftest import SF_DIR
+
+from pyspark.sql import functions as F
+
+from spark_eventhubs_spark.operators import graph as G
+
+
+def _lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_edges_are_symmetric_and_loop_free(spark):
+    e = G.copurchase_edges(_lineitem(spark))
+    assert e.where(F.col("src") == F.col("dst")).count() == 0
+    fwd = {(r["src"], r["dst"]) for r in e.collect()}
+    assert all((b, a) in fwd for a, b in fwd)  # bidirectional by construction
+
+
+def test_pagerank_partition_invariant_and_positive(spark):
+    """Integer contributions commute: ranks are identical under
+    different input partitionings, strictly positive, and the top list
+    is the requested size."""
+    li = _lineitem(spark)
+    a = [(r["partkey"], r["rank"]) for r in G.pagerank(li.repartition(7)).collect()]
+    b = [(r["partkey"], r["rank"]) for r in G.pagerank(li.repartition(3)).collect()]
+    assert a == b and len(a) == G.PR_TOP
+    assert all(rank > 0 for _, rank in a)
+    # descending with deterministic tie order
+    assert a == sorted(a, key=lambda t: (-t[1], t[0]))
+
+
+def test_pagerank_mass_is_bounded(spark):
+    """Total integer rank mass can only shrink vs SCALE (every div
+    floors; nothing is created): sum(rank) <= SCALE + N*base slack,
+    and a hub part outranks the median part."""
+    li = _lineitem(spark)
+    full = G.pagerank(li, top=1_000_000)
+    rows = full.collect()
+    total = sum(r["rank"] for r in rows)
+    assert total <= G.PR_SCALE
+    ranks = sorted((r["rank"] for r in rows), reverse=True)
+    assert ranks[0] > ranks[len(ranks) // 2]
