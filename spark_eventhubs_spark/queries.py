@@ -113,6 +113,9 @@ _DRIVER_GREEN = frozenset({
     # entry, so this row is promoted to make room for the pagerank
     # entry inside the window
     "text_winnow_fingerprints",
+    # p1_price_percentiles: green r02, re-verified by every local full-
+    # catalog gate since; promoted for the EWMA entry's window slot
+    "p1_price_percentiles",
     # embed_knn_join(+_partial): green r03; their plan code is
     # unchanged since and both passed this session's local 109-entry
     # full-catalog gate — promoted to keep the funnel/retention
@@ -3420,3 +3423,79 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey self-join builds the bounded edge list; each iteration
     is a co-partitioned edges-ranks join + node-keyed sum."""
     return G.pagerank(_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "ts_ewma_hourly",
+    """WITH RECURSIVE hub2 AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket
+  FROM events
+), hourly AS (
+  SELECT event_type, hour_bucket, COUNT(*) AS cnt,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour_bucket) AS rn
+  FROM hub2 GROUP BY 1, 2
+), rec AS (
+  SELECT event_type, hour_bucket, cnt, rn, CAST(cnt * 1000 AS BIGINT) AS ewma_milli
+  FROM hourly WHERE rn = 1
+  UNION ALL
+  SELECT h.event_type, h.hour_bucket, h.cnt, h.rn,
+    CAST((2 * h.cnt * 1000 + 8 * r.ewma_milli) // 10 AS BIGINT)
+  FROM hourly h JOIN rec r ON h.event_type = r.event_type AND h.rn = r.rn + 1
+)
+SELECT event_type, hour_bucket, cnt, ewma_milli,
+  CAST(CASE WHEN cnt * 1000 * 10 > 15 * ewma_milli THEN 1 ELSE 0 END AS INTEGER) AS spike
+FROM rec""",
+)
+def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing + spike detection: per event type, an
+    exponentially-weighted moving average (alpha = 0.2) of hourly
+    counts in integer milli-units — r' = (2*x*1000 + 8*r) div 10 —
+    flagging hours whose count exceeds 1.5x the smoothed level. The
+    integer recurrence floors identically in both engines, so even a
+    RECURSIVE oracle (720 levels) hash-matches exactly. Scale: hourly
+    pre-aggregation reduces the stream to |types x hours| rows; the
+    sequential recurrence then folds ONE bounded sorted array per
+    type (a per-key ordered scan — the window-function topology, done
+    as a higher-order fold so the recurrence needs no self-join)."""
+    hub = load_hub_flat(spark, sf_dir)
+    hourly = (
+        hub.groupBy(
+            "event_type", F.expr("enq_us div 3600000000").alias("hour_bucket")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_type = hourly.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("hour_bucket").alias("h"), F.col("cnt").alias("c"))
+            )
+        ).alias("xs")
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("prev"),
+        F.array().cast("array<struct<h:bigint,c:bigint,e:bigint>>").alias("out"),
+    )
+
+    def _merge(acc, s):
+        e = F.when(F.size(acc["out"]) == 0, s["c"] * 1000).otherwise(
+            F.floor((2 * s["c"] * 1000 + 8 * acc["prev"]) / 10).cast("long")
+        )
+        item = F.struct(s["h"].alias("h"), s["c"].alias("c"), e.alias("e"))
+        return F.struct(
+            e.alias("prev"), F.concat(acc["out"], F.array(item)).alias("out")
+        )
+
+    folded = per_type.select(
+        "event_type",
+        F.aggregate(F.col("xs"), zero, _merge, lambda a: a["out"]).alias("out"),
+    )
+    return (
+        folded.select("event_type", F.explode("out").alias("x"))
+        .select(
+            "event_type",
+            F.col("x.h").alias("hour_bucket"),
+            F.col("x.c").alias("cnt"),
+            F.col("x.e").alias("ewma_milli"),
+            F.when(F.col("x.c") * 1000 * 10 > 15 * F.col("x.e"), 1)
+            .otherwise(0).cast("int").alias("spike"),
+        )
+    )

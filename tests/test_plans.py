@@ -446,3 +446,14 @@ def test_retention_preaggregates_before_join(spark):
         .select("user_id").distinct().count()
     )
     assert total_day0 == n_users
+
+
+def test_ewma_fold_no_self_join(spark):
+    """ts_ewma_hourly: the recurrence must run as a per-type fold —
+    no join operators anywhere in the plan (a recursive-join EWMA
+    would re-shuffle per step), and exactly the two aggregation
+    shuffles (hourly, then per-type collect)."""
+    df = Q._QUERIES["ts_ewma_hourly"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
