@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_eventhubs_spark.functions.hashing import md5_hash64
+
 # Small fixed English stopword list used by quality scoring + lang-ID.
 # Kept tiny and hard-coded so the oracle SQL can inline it.
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
@@ -818,3 +820,130 @@ SELECT doc_id, n_words, mean_word_len_bp, dup_word_bp, top_word_bp,
     AND top_word_bp <= {GOPHER_MAX_TOP_BP}
     THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM f"""
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch (deterministic hashes -> EXACT cross-engine oracle)
+# ---------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+# probe set: stable common vocabulary terms (see TESTDATA corpus)
+CMS_PROBE = ["table", "row", "scan", "spark", "hash", "merge", "sort",
+             "window", "value", "batch"]
+
+
+def cms_estimates(
+    df: DataFrame,
+    probe: list | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch over the corpus token stream, evaluated on a
+    bounded probe vocabulary: per probe token, the exact count, the
+    CMS estimate (min over ``depth`` md5-derived rows of ``width``
+    cells), and the overcount. The hash family is the shared md5
+    primitive, so the "approximate" sketch is exactly reproducible in
+    SQL — the approximation is WHICH tokens collide, not randomness.
+
+    Scale: the sketch build shuffles only (row, cell) partial counts —
+    depth x width combiner rows per partition, independent of
+    vocabulary size (the CMS contract). True counts of the probe set
+    are an IN-filtered aggregation (bounded postings, like BM25), and
+    the estimate join touches depth x |probe| sketch cells."""
+    probe = probe if probe is not None else list(CMS_PROBE)
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    rows = []
+    for j in range(depth):
+        rows.append(
+            toks.select(
+                F.lit(j).alias("j"),
+                F.pmod(md5_hash64(F.col("token"), seed=j + 1), F.lit(width))
+                .alias("cell"),
+            )
+        )
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionAll(r)
+    sketch = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+
+    probe_df = df.sparkSession.createDataFrame(
+        [(t,) for t in probe], "token string"
+    )
+    probe_cells = probe_df.select(
+        "token",
+        F.posexplode(
+            F.array(*[
+                F.pmod(md5_hash64(F.col("token"), seed=j + 1), F.lit(width))
+                for j in range(depth)
+            ])
+        ).alias("j", "cell"),
+    ).select("token", F.col("j").cast("long").alias("j"), "cell")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_c"))
+    )
+    true_c = (
+        toks.where(F.col("token").isin(probe))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_c"))
+    )
+    return (
+        probe_df.join(true_c, "token", "left")
+        .join(est, "token", "left")
+        .select(
+            "token",
+            F.coalesce(F.col("true_c"), F.lit(0)).alias("true_c"),
+            F.coalesce(F.col("est_c"), F.lit(0)).alias("est_c"),
+            (F.coalesce(F.col("est_c"), F.lit(0))
+             - F.coalesce(F.col("true_c"), F.lit(0))).alias("overcount"),
+        )
+    )
+
+
+def oracle_cms_estimates(
+    probe: list | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    from spark_eventhubs_spark.functions.hashing import oracle_md5_hash64
+
+    probe = probe if probe is not None else list(CMS_PROBE)
+    probe_sql = ", ".join(f"('{t}')" for t in probe)
+
+    def cell(expr, j):
+        return f"({oracle_md5_hash64(expr, seed=j + 1)} % {width})"
+
+    probe_cell_rows = " UNION ALL ".join(
+        f"SELECT token, CAST({j} AS BIGINT) AS j, {cell('token', j)} AS cell FROM probe"
+        for j in range(depth)
+    )
+    tok_cell_rows = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS j, {cell('token', j)} AS cell FROM toks"
+        for j in range(depth)
+    )
+    return f"""WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), probe(token) AS (VALUES {probe_sql}
+), cells AS ({tok_cell_rows}
+), sketch AS (
+  SELECT j, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2
+), pc AS ({probe_cell_rows}
+), est AS (
+  SELECT pc.token, MIN(s.c) AS est_c
+  FROM pc JOIN sketch s ON s.j = pc.j AND s.cell = pc.cell
+  GROUP BY 1
+), tc AS (
+  SELECT token, COUNT(*) AS true_c FROM toks
+  WHERE token IN (SELECT token FROM probe) GROUP BY 1
+)
+SELECT p.token,
+  CAST(COALESCE(tc.true_c, 0) AS BIGINT) AS true_c,
+  CAST(COALESCE(est.est_c, 0) AS BIGINT) AS est_c,
+  CAST(COALESCE(est.est_c, 0) - COALESCE(tc.true_c, 0) AS BIGINT) AS overcount
+FROM probe p
+LEFT JOIN tc ON tc.token = p.token
+LEFT JOIN est ON est.token = p.token"""

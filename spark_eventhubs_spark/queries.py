@@ -116,6 +116,9 @@ _DRIVER_GREEN = frozenset({
     # p1_price_percentiles: green r02, re-verified by every local full-
     # catalog gate since; promoted for the EWMA entry's window slot
     "p1_price_percentiles",
+    # w2_order_value_deciles: green r02, same rationale as p1 — its
+    # slot funds the count-min-sketch entry
+    "w2_order_value_deciles",
     # embed_knn_join(+_partial): green r03; their plan code is
     # unchanged since and both passed this session's local 109-entry
     # full-catalog gate — promoted to keep the funnel/retention
@@ -3499,3 +3502,16 @@ def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).cast("int").alias("spike"),
         )
     )
+
+
+@register("text_cms_estimates", T.oracle_cms_estimates())
+def text_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch evaluation on a fixed probe vocabulary: exact
+    count vs CMS estimate vs overcount per token. The md5-derived hash
+    family makes the sketch exactly reproducible in SQL — the entry
+    proves the CMS one-sided error (overcount >= 0) on real data while
+    hash-matching the oracle cell by cell. Scale: the sketch build
+    shuffles depth x width combiner rows per partition regardless of
+    vocabulary size; probes touch depth x |probe| cells of the
+    broadcast (bounded 2048-row) sketch."""
+    return T.cms_estimates(_table(spark, sf_dir, "documents"))

@@ -475,3 +475,26 @@ def test_curation_decisions_compose(spark):
         assert r["final_keep"] == expect
         kept += r["final_keep"]
     assert 0 < kept < len(out)
+
+
+def test_cms_one_sided_error_and_bound(spark):
+    """CMS contract on real data: estimates never undercount, and the
+    standard bound holds — overcount <= e/width * total_tokens with
+    depth rows (loose check at the default 4x512 geometry)."""
+    from tests.conftest import SF_DIR
+    from spark_eventhubs_spark.operators.text import (
+        CMS_WIDTH, cms_estimates, tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = cms_estimates(docs).collect()
+    assert len(rows) == 10 and any(r["true_c"] > 0 for r in rows)
+    total = docs.select(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n")
+    ).collect()[0]["n"]
+    bound = 3 * total // CMS_WIDTH + 1  # ~e/width * N, slack for floor
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["est_c"] >= r["true_c"]
+        assert r["overcount"] <= bound
