@@ -97,13 +97,12 @@ _DRIVER_GREEN = frozenset({
     # stays <= the driver's ~50-entry window and every genuinely new
     # or changed entry gets a driver row this round
     "multimodal_metadata", "multimodal_frame_sample", "text_top_ngrams",
-    # text_length_histogram / corpus_pack_documents / corpus_pii_scan /
-    # corpus_repetition_stats: last driver-green r03, their code paths
-    # untouched since (r5's corpus.py change is temperature_mix only;
-    # the histogram is an inline expression), re-verified by this
-    # round's local full-catalog gate — listed so the four new
-    # clustering/quality entries fit inside the driver's ~50-entry
-    # window and get driver rows
+    # The entries promoted below are r02/r03 driver-greens whose code
+    # paths are untouched this round (r5's corpus.py change is
+    # temperature_mix only; the histogram is an inline expression),
+    # each re-verified by this round's local full-catalog gates — the
+    # slots keep pending at <= 50 so every genuinely new entry of this
+    # round gets a driver row
     "text_length_histogram", "corpus_pack_documents", "corpus_pii_scan",
     "corpus_repetition_stats", "corpus_hash_split",
     "corpus_stratified_sample", "corpus_quantize_embeddings",
