@@ -85,6 +85,15 @@ def main() -> None:
         # already-materialized shuffle stages and under-report cost —
         # every timed run below builds and executes a genuinely fresh
         # plan.
+        # Streaming twins re-drain the full micro-batch sequence on
+        # EVERY run once the plan cache is cleared (a fresh consumer
+        # group each time — that is the entry's semantics), and the
+        # drain mechanics (trigger loop, state commits), not codegen,
+        # dominate their cost. Repeats would just multiply a 5-20 s
+        # drain without improving the estimate, so streaming entries
+        # run the untimed warmup (codegen + sink setup) plus ONE timed
+        # drain; batch queries keep warmup + median-of-repeats.
+        one_timed = name.startswith("stream_")
         samples: list[float] = []
         warm = None
         try:
@@ -97,7 +106,7 @@ def main() -> None:
                     warm = dt
                     continue
                 samples.append(dt)
-                if warm >= 2.0 and len(samples) >= 2:
+                if one_timed or (warm >= 2.0 and len(samples) >= 2):
                     break
         except Exception as e:  # a failed query must not hide the rest
             failures[name] = str(e).split("\n")[0][:200]
