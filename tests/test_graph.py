@@ -42,3 +42,29 @@ def test_pagerank_mass_is_bounded(spark):
     assert total <= G.PR_SCALE
     ranks = sorted((r["rank"] for r in rows), reverse=True)
     assert ranks[0] > ranks[len(ranks) // 2]
+
+
+def test_pagerank_tiny_graph_hand_computed(spark):
+    """Integer PageRank on a 3-node path graph (1-2, 2-3 co-purchase
+    orders), checked against a literal python re-computation of the
+    same integer recurrence."""
+    li = spark.createDataFrame(
+        [(100, 1), (100, 2), (200, 2), (200, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {r["partkey"]: r["rank"] for r in G.pagerank(li, top=10).collect()}
+
+    scale = G.PR_SCALE
+    edges = {1: [2], 2: [1, 3], 3: [2]}
+    deg = {n: len(vs) for n, vs in edges.items()}
+    n = 3
+    base = (15 * scale) // (100 * n)
+    r = {v: scale // n for v in edges}
+    for _ in range(G.PR_ITERS):
+        nxt = {}
+        for v in edges:
+            s = sum((85 * r[u]) // (100 * deg[u]) for u in edges if v in edges[u])
+            nxt[v] = base + s
+        r = nxt
+    assert got == r
+    assert got[2] > got[1] == got[3]  # the middle node is the hub

@@ -457,3 +457,20 @@ def test_ewma_fold_no_self_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ewma_recurrence_matches_python_fold(spark):
+    """The EWMA catalog entry's integer recurrence on a hand-built
+    event set equals a literal python fold."""
+    import math
+
+    rows = [r for r in Q._QUERIES["ts_ewma_hourly"](spark, SF_DIR).collect()
+            if r["event_type"] == "click"]
+    rows.sort(key=lambda r: r["hour_bucket"])
+    assert rows, "click series missing"
+    prev = None
+    for r in rows:
+        e = r["cnt"] * 1000 if prev is None else (2 * r["cnt"] * 1000 + 8 * prev) // 10
+        assert r["ewma_milli"] == e
+        assert r["spike"] == (1 if r["cnt"] * 10000 > 15 * e else 0)
+        prev = e
