@@ -77,3 +77,17 @@ def test_driver_entry_contract(spark):
     # (hub_approx_users, p2_approx_percentiles) via constant-TRUE
     # contract oracles rather than value oracles
     assert set(qs) == set(osql)
+
+
+def test_catalog_doc_is_current():
+    """docs/CATALOG.md is generated from the registry; its entry count
+    must match, so the doc cannot silently go stale."""
+    import os
+    import re
+
+    from spark_eventhubs_spark import queries as Q
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "docs", "CATALOG.md")
+    text = open(path).read()
+    assert int(re.search(r"^(\d+) entries", text, re.M).group(1)) == len(Q._QUERIES)
+    assert text.count("| `") == len(Q._QUERIES)
