@@ -1204,3 +1204,87 @@ def pq_topk_rerank(
         )
     )
     return rerank.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------
+# Matryoshka (prefix-dimension) two-stage retrieval
+# ---------------------------------------------------------------------
+
+MRL_PREFIX_DIM = 16
+MRL_SHORTLIST = 50
+
+
+def mrl_rerank_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    shortlist: int = MRL_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-representation two-stage ANN: rank every vector by
+    cosine over its first ``prefix_dim`` dimensions (4x less math and
+    4x less I/O when the prefix is stored column-separate), take a
+    ``shortlist``, then re-rank the shortlist by full-dimension cosine
+    and return the top ``k``. Both stages are exact arithmetic over
+    deterministic candidate sets, so the whole two-stage pipeline has
+    a SQL oracle.
+
+    Scale: stage 1 is a narrow scan + TakeOrdered (partition-
+    incremental, no global sort); stage 2 touches ``shortlist`` rows.
+    With MRL-trained embeddings the prefix is a faithful coarse score;
+    here it demonstrates the plumbing on the synthetic vectors."""
+    q = df.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    pref = lambda c: F.slice(c, 1, prefix_dim)  # noqa: E731
+    stage1 = (
+        df.where(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("qvec"),
+            F.floor(
+                cosine_col(pref(F.col(vec_col)), pref(F.col("qvec"))) * 1e6
+            ).cast("long").alias("prefix_e6"),
+        )
+        .orderBy(F.col("prefix_e6").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return (
+        stage1.select(
+            F.col(id_col),
+            "prefix_e6",
+            F.floor(cosine_col(F.col(vec_col), F.col("qvec")) * 1e6)
+            .cast("long").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def oracle_mrl_rerank_topk(
+    query_vec_id: int = 0,
+    k: int = 10,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    shortlist: int = MRL_SHORTLIST,
+) -> str:
+    pcos = oracle_cosine("embedding", "qvec", dim=prefix_dim)
+    fcos = oracle_cosine("embedding", "qvec")
+    return f"""WITH q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}
+), s1 AS (
+  SELECT vec_id, embedding, qvec,
+    CAST(FLOOR({pcos} * 1000000) AS BIGINT) AS prefix_e6
+  FROM embeddings, q
+  WHERE vec_id <> {query_vec_id}
+  ORDER BY prefix_e6 DESC, vec_id ASC
+  LIMIT {shortlist}
+)
+SELECT vec_id, prefix_e6,
+  CAST(FLOOR({fcos} * 1000000) AS BIGINT) AS score_e6
+FROM s1
+ORDER BY score_e6 DESC, vec_id ASC
+LIMIT {k}"""

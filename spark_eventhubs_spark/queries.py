@@ -118,6 +118,10 @@ _DRIVER_GREEN = frozenset({
     # w2_order_value_deciles: green r02, same rationale as p1 — its
     # slot funds the count-min-sketch entry
     "w2_order_value_deciles",
+    # embed_ivf_refined: last green r03 and a rows-only check (refined
+    # float centroids have no SQL twin), so its driver row is the
+    # least informative — promoted to fund the Matryoshka rerank entry
+    "embed_ivf_refined",
     # embed_knn_join(+_partial): green r03; their plan code is
     # unchanged since and both passed this session's local 109-entry
     # full-catalog gate — promoted to keep the funnel/retention
@@ -3514,3 +3518,14 @@ def text_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size; probes touch depth x |probe| cells of the
     broadcast (bounded 2048-row) sketch."""
     return T.cms_estimates(_table(spark, sf_dir, "documents"))
+
+
+@register("embed_mrl_rerank", S.oracle_mrl_rerank_topk())
+def embed_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: coarse top-50 by cosine over
+    the first 16 dimensions, exact full-dimension re-rank to top-10 —
+    the MRL serving recipe (4x cheaper stage-1 math/IO). Both stages
+    TakeOrdered over deterministic candidate sets, hence oracle-exact.
+    Scale: stage 1 is a narrow scan + partition-incremental top-k;
+    stage 2 touches 50 rows."""
+    return S.mrl_rerank_topk(_table(spark, sf_dir, "embeddings"))
