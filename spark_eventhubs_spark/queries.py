@@ -31,6 +31,7 @@ from spark_eventhubs_spark.operators import dedup as D
 from spark_eventhubs_spark.operators import graph as G
 from spark_eventhubs_spark.operators import multimodal as M
 from spark_eventhubs_spark.operators import pipeline as P
+from spark_eventhubs_spark.operators import runtime_filter as RF
 from spark_eventhubs_spark.operators import similarity as S
 from spark_eventhubs_spark.operators import text as T
 from spark_eventhubs_spark.plans.hubview import (
@@ -3529,3 +3530,164 @@ def embed_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: stage 1 is a narrow scan + partition-incremental top-k;
     stage 2 touches 50 rows."""
     return S.mrl_rerank_topk(_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "opt_bloom_prune_revenue",
+    """SELECT l.l_returnflag AS returnflag,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY l.l_returnflag""",
+)
+def opt_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: the ~1.5%-selective filtered
+    orders side's keys become a position set bounded by the constant
+    ``num_bits`` (never sf-linear), and lineitem is pruned by two
+    broadcast semi-joins on its hash positions BEFORE the exact
+    orderkey join. The oracle is the plain join — bloom false
+    positives are removed by the exact join, so results are identical
+    while the probe side's shuffle input shrinks by ~98.5%. This is
+    Spark's injected runtime bloom filter re-expressed with public
+    DataFrame ops (operators/runtime_filter.py), which at 100 TB is
+    the difference between shuffling 100 TB of lineitem and ~1.5 TB."""
+    o = _table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= _TS("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _TS("1996-07-01 00:00:00"))
+    )
+    l = _table(spark, sf_dir, "lineitem")
+    positions = RF.bloom_positions(o.select("o_orderkey"), "o_orderkey")
+    pruned = RF.bloom_prune(l, "l_orderkey", positions)
+    return (
+        pruned.join(o, pruned["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "scd2_state_history",
+    oracle_hub_cte()
+    + """
+, ordered AS (
+  SELECT user_id_str, event_type, enq_us,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+         OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg,
+    ROW_NUMBER() OVER w AS rn,
+    COUNT(*) OVER (PARTITION BY user_id_str) AS n_user
+  FROM hub
+  WINDOW w AS (PARTITION BY user_id_str ORDER BY enq_us, sequenceNumber)
+), starts AS (
+  SELECT user_id_str, event_type AS state, enq_us AS valid_from_us, rn, n_user
+  FROM ordered WHERE chg = 1
+)
+SELECT user_id_str, state, valid_from_us,
+  LEAD(valid_from_us) OVER w2 AS valid_to_us,
+  CAST(COALESCE(LEAD(rn) OVER w2, n_user + 1) - rn AS BIGINT) AS n_events
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id_str ORDER BY rn)""",
+)
+def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 compaction: each user's event-type stream collapses
+    into validity intervals (state, valid_from, valid_to, n_events) —
+    the slowly-changing-dimension history build every warehouse ingest
+    runs. Change detection is lag(); interval extents come from
+    lead() over the *start rows only*, so no second aggregation pass
+    exists. Scale: ONE hash exchange on user_id_str — the change
+    flags, row numbers, per-user counts, and the post-filter lead all
+    reuse the same partitioning (pinned in tests/test_plans.py), so
+    at 100 TB this is a single keyed shuffle plus per-key sorts."""
+    from pyspark.sql import Window
+
+    hub = load_hub_flat(spark, sf_dir).select(
+        "user_id_str", "event_type", "enq_us", "sequenceNumber"
+    )
+    w = Window.partitionBy("user_id_str").orderBy("enq_us", "sequenceNumber")
+    wu = Window.partitionBy("user_id_str")
+    prev = F.lag("event_type").over(w)
+    marked = hub.select(
+        "user_id_str",
+        "event_type",
+        "enq_us",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("chg"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n_user"),
+    )
+    starts = marked.where(F.col("chg") == 1)
+    w2 = Window.partitionBy("user_id_str").orderBy("rn")
+    return starts.select(
+        "user_id_str",
+        F.col("event_type").alias("state"),
+        F.col("enq_us").alias("valid_from_us"),
+        F.lead("enq_us").over(w2).alias("valid_to_us"),
+        (F.coalesce(F.lead("rn").over(w2), F.col("n_user") + 1) - F.col("rn"))
+        .cast("bigint")
+        .alias("n_events"),
+    )
+
+
+@register(
+    "ts_mad_outliers",
+    oracle_hub_cte()
+    + """
+, hourly AS (
+  SELECT event_type, enq_us // 3600000000 AS hour_bucket, COUNT(*) AS cnt
+  FROM hub GROUP BY 1, 2
+), med AS (
+  SELECT event_type, CAST(2 * median(cnt) AS BIGINT) AS med2
+  FROM hourly GROUP BY 1
+), dev AS (
+  SELECT h.event_type, h.hour_bucket, h.cnt, m.med2,
+    ABS(2 * h.cnt - m.med2) AS dev2
+  FROM hourly h JOIN med m ON h.event_type = m.event_type
+), mad AS (
+  SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.hour_bucket, d.cnt, d.med2, m.mad4
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE 2 * d.dev2 > 3 * m.mad4""",
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: hours whose event count deviates from
+    the per-type median by more than 3x the median absolute deviation
+    (MAD — outlier-proof, unlike the EWMA entry's mean-based bands).
+    Exactness: medians of integers land on halves, so everything is
+    carried doubled (med2 = 2*median, mad4 = 4*MAD) and the 3-sigma
+    test `|x-med| > 3*MAD` becomes the integer `2*dev2 > 3*mad4` —
+    no float ever crosses the engines. Scale: the hourly rollup
+    map-side combines; med/mad frames are bounded by the event-type
+    domain (5 rows), hence safe broadcast hints."""
+    hourly = (
+        load_hub_flat(spark, sf_dir)
+        .groupBy(
+            "event_type", F.expr("enq_us div 3600000000").alias("hour_bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        (F.expr("percentile(cnt, 0.5)") * 2).cast("bigint").alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("cnt") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.expr("percentile(dev2, 0.5)") * 2).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(2 * F.col("dev2") > 3 * F.col("mad4"))
+        .select("event_type", "hour_bucket", "cnt", "med2", "mad4")
+    )

@@ -474,3 +474,42 @@ def test_ewma_recurrence_matches_python_fold(spark):
         assert r["ewma_milli"] == e
         assert r["spike"] == (1 if r["cnt"] * 10000 > 15 * e else 0)
         prev = e
+
+
+def test_bloom_prune_topology(spark):
+    """opt_bloom_prune_revenue: exactly two broadcast hints survive —
+    both on the position set bounded by the constant num_bits (never
+    sf-linear) — and the physical plan prunes lineitem with two
+    LeftSemi broadcast joins BEFORE the exact orderkey join, whose
+    strategy stays unhinted for AQE to size."""
+    df = Q.queries()["opt_bloom_prune_revenue"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 2
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("LeftSemi") == 2
+
+
+def test_scd2_single_logic_shuffle(spark):
+    """scd2_state_history: the SCD2 logic itself adds exactly ONE
+    hashpartitioning exchange (user_id_str) — change flags, row
+    numbers, per-user counts, and the post-filter lead all reuse it.
+    The second exchange in the plan is the hub view's synthesized
+    per-partition sequenceNumber window (testdata adapter only; the
+    real ingest path assigns seqNos at write)."""
+    df = Q.queries()["scd2_state_history"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in phys
+    # lag + row_number share one window node; count(*), lead, and the
+    # hub seqNo synth account for the rest -> exactly 4 Window nodes
+    assert phys.count("Window") == 4
+
+
+def test_mad_hints_are_bounded_frames_only(spark):
+    """ts_mad_outliers: three hint nodes, all on per-event-type
+    aggregates bounded by the 5-value event_type domain (the med hint
+    appears twice because dev's lineage feeds both the mad aggregate
+    and the final join)."""
+    df = Q.queries()["ts_mad_outliers"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 3
