@@ -477,3 +477,64 @@ SELECT doc_id,
   CAST(LEAST((13 * n) % 251, (7 * n) % 251, n % 251) AS INTEGER) AS min_px,
   CAST(GREATEST((13 * n) % 251, (7 * n) % 251, n % 251) AS INTEGER) AS max_px
 FROM m"""
+
+
+def as_wav_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a REAL 16-bit PCM WAV payload per document (the
+    container has no audio corpora): a mono 8 kHz square wave whose
+    amplitude and length derive from the utf-8 byte length n —
+    A=((n%97)+1)*256, n_frames=(n%50)+10, samples alternating +A/-A.
+    The RIFF container is written by the stdlib ``wave`` module and
+    parsed back by :func:`decode_wav`, so header handling is genuine,
+    while RMS(square wave) = A keeps every decoded feature a closed-
+    form function of n that the SQL oracle reproduces exactly (all
+    intermediate float values are exact: nf*A^2 <= 3.7e10 << 2^53 and
+    sqrt of an exact square is exact under IEEE rounding)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                n = len(str(t).encode("utf-8"))
+                amp = ((n % 97) + 1) * 256
+                nf = (n % 50) + 10
+                samples = np.empty(nf, dtype="<i2")
+                samples[0::2] = amp
+                samples[1::2] = -amp
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "media": payloads}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(_make, out_schema)
+
+
+def oracle_wav_stats() -> str:
+    """DuckDB twin of as_wav_column >> audio_features: the square
+    wave's RMS equals its amplitude, so the real decode's features
+    have this closed form."""
+    return """WITH m AS (
+  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(1 AS INTEGER) AS n_channels,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST((n % 50) + 10 AS BIGINT) AS n_frames,
+  CAST(((n % 50) + 10) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(((n % 97) + 1) * 256 * 1000000 AS BIGINT) AS rms_e6
+FROM m"""

@@ -141,6 +141,11 @@ _DRIVER_GREEN = frozenset({
     # in r4 keeps driver coverage via the still-pending
     # dedup_ngram_jaccard / dedup_winnow_overlap entries.
     "s1_customer_cohorts", "dedup_components", "corpus_decontaminate",
+    # q12: r02 driver-green; pure JVM join+conditional-agg, untouched
+    # since r02 and locally green at all three sfs in every session
+    # gate — its slot funds the WAV-stats entry's driver row. Unlike
+    # the kernel-sharing entries, no changed code path feeds it.
+    "q12_priority_lateness",
 })
 
 
@@ -3699,3 +3704,17 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(2 * F.col("dev2") > 3 * F.col("mad4"))
         .select("event_type", "hour_bucket", "cnt", "med2", "mad4")
     )
+
+
+@register("multimodal_wav_stats", M.oracle_wav_stats())
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM WAV decode in the audio-features path: per document a
+    genuine RIFF/WAV container (stdlib ``wave`` writer) holds a square
+    wave whose amplitude/length derive from the text byte length, and
+    the stdlib-parsing decoder runs true sample math (sequential RMS
+    fold) back out of it. RMS(square wave) = amplitude keeps the
+    features SQL-reproducible and hash-checked. Scale: two chained
+    mapInPandas stages, partition-preserving, zero shuffle — the same
+    Arrow batch shape a real audio corpus would flow through."""
+    docs = _table(spark, sf_dir, "documents")
+    return M.audio_features(M.as_wav_column(docs))
