@@ -897,3 +897,65 @@ SELECT doc_id, COUNT(*) AS n_chunks,
   CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
   COALESCE(string_agg(chunk, ' ' ORDER BY j) FILTER (keep = 1), '') AS clean_text
 FROM k GROUP BY 1"""
+
+
+# ---- incremental ingest dedup ----
+
+def incremental_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    split_mod: int = 10,
+    corpus_buckets: int = 8,
+) -> DataFrame:
+    """Daily-ingest dedup: the new batch of documents is deduplicated
+    against the already-ingested corpus WITHOUT rejoining corpus text.
+
+    The testdata split is deterministic (md5 of the doc id: buckets
+    ``< corpus_buckets`` of ``split_mod`` play the existing corpus,
+    the rest the incoming batch). The batch first self-dedupes on the
+    content fingerprint (keep the smallest doc_id), then anti-joins
+    the corpus fingerprint set — in production that set is the stored
+    fingerprint column of the ingested corpus, a narrow scan that
+    never touches text. Scale: one skew-free shuffle on the uniform
+    16-byte fingerprint; the corpus side carries NO broadcast hint
+    (it is corpus-proportional — AQE decides, per the round-4 lesson
+    on the cleaning pipeline's drop set)."""
+    fp = df.select(
+        "doc_id",
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        F.pmod(
+            md5_hash64(F.concat(F.lit("ingest|"), F.col("doc_id").cast("string"))),
+            F.lit(split_mod),
+        ).alias("b"),
+    )
+    corpus = fp.where(F.col("b") < corpus_buckets).select("fingerprint").distinct()
+    batch = (
+        fp.where(F.col("b") >= corpus_buckets)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("n_batch_dupes"),
+        )
+    )
+    return batch.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint", "n_batch_dupes"
+    )
+
+
+def oracle_incremental_dedup(split_mod: int = 10, corpus_buckets: int = 8) -> str:
+    h = oracle_md5_hash64("('ingest|' || CAST(doc_id AS VARCHAR))")
+    return f"""WITH fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+    {h} % {split_mod} AS b
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE b < {corpus_buckets}
+), batch AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_batch_dupes
+  FROM fp WHERE b >= {corpus_buckets} GROUP BY 1
+)
+SELECT b.doc_id, b.fingerprint, b.n_batch_dupes
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint)"""

@@ -146,6 +146,11 @@ _DRIVER_GREEN = frozenset({
     # gate — its slot funds the WAV-stats entry's driver row. Unlike
     # the kernel-sharing entries, no changed code path feeds it.
     "q12_priority_lateness",
+    # embed_neardup_pairs: r02 driver-green, locally green at all
+    # three sfs every session; its hyperplane-bucket code path stays
+    # driver-covered via the still-pending embed_ann_lsh entry — the
+    # slot funds dedup_incremental_ingest's driver row
+    "embed_neardup_pairs",
 })
 
 
@@ -3718,3 +3723,13 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch shape a real audio corpus would flow through."""
     docs = _table(spark, sf_dir, "documents")
     return M.audio_features(M.as_wav_column(docs))
+
+
+@register("dedup_incremental_ingest", D.oracle_incremental_dedup())
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the new batch (deterministic 20%
+    hash split) self-dedupes on content fingerprint, then anti-joins
+    the existing corpus's fingerprint set — the shape a daily crawl
+    ingest runs so the corpus text is never rescanned. Scale: one
+    uniform-fingerprint shuffle; corpus side unhinted for AQE."""
+    return D.incremental_dedup(_table(spark, sf_dir, "documents"))
