@@ -151,6 +151,11 @@ _DRIVER_GREEN = frozenset({
     # driver-covered via the still-pending embed_ann_lsh entry — the
     # slot funds dedup_incremental_ingest's driver row
     "embed_neardup_pairs",
+    # embed_ivf_ann: r02 driver-green; its partition-pruning layout is
+    # separately plan-pinned and the ANN kernel path stays
+    # driver-covered via the still-pending embed_ann_lsh — the slot
+    # funds stream_scd2's driver row
+    "embed_ivf_ann",
 })
 
 
@@ -3733,3 +3738,28 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest runs so the corpus text is never rescanned. Scale: one
     uniform-fingerprint shuffle; corpus side unhinted for AQE."""
     return D.incremental_dedup(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stream_scd2",
+    "SELECT * FROM (\n"
+    + _ORACLES["scd2_state_history"]
+    + "\n) WHERE valid_to_us IS NOT NULL",
+)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 twin under the batch oracle restricted to CLOSED
+    intervals: the carry-forward applyInPandasWithState operator
+    replays the hub across ~4 rate-limited micro-batches and must
+    hash-match every interval the batch scd2_state_history closes (the
+    per-user open run is state-store state, not history — exactly the
+    CDC contract). Exact under any batch boundary: pure carry-forward,
+    no lookahead. Scale: one (string, long, long) per user of state."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_scd2
+
+    sdf, name = _rate_limited_hub_stream(spark, sf_dir, "cat_scd2")
+    _run_stream_to_memory(streaming_scd2(sdf), name, available_now=False,
+                          mode="append")
+    return spark.sql(
+        f"""SELECT user_id_str, state, valid_from_us, valid_to_us, n_events
+            FROM {name}"""
+    )

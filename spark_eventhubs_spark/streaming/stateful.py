@@ -360,3 +360,88 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# SCD2 compaction (streaming twin of the batch scd2_state_history)
+# ---------------------------------------------------------------------
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_type", StringType()),
+        StructField("valid_from", LongType()),
+        StructField("n_run", LongType()),
+    ]
+)
+_SCD2_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id_str", StringType()),
+        StructField("state", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _scd2_update(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user,) = key
+    if state.exists:
+        cur, vfrom, nrun = state.get
+    else:
+        cur, vfrom, nrun = None, None, 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    out = []
+    if frames:
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["enq_us", "sequenceNumber"], kind="mergesort"
+        )
+        for et, enq in zip(batch["event_type"], batch["enq_us"]):
+            if cur is None:
+                cur, vfrom, nrun = str(et), int(enq), 1
+            elif str(et) != cur:
+                out.append((user, cur, vfrom, int(enq), nrun))
+                cur, vfrom, nrun = str(et), int(enq), 1
+            else:
+                nrun += 1
+    state.update((cur, vfrom, nrun))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id_str", "state", "valid_from_us", "valid_to_us", "n_events",
+        ],
+    ).astype(
+        {"valid_from_us": "int64", "valid_to_us": "int64", "n_events": "int64"}
+    )
+
+
+def streaming_scd2(sdf: DataFrame, user_key: str = "user_id") -> DataFrame:
+    """SCD type-2 compaction as a stream (the CDC shape): per user,
+    the current (state, valid_from, run_count) is the ONLY state; a
+    closed validity interval is emitted the moment the user's
+    event_type changes. The streaming twin of the batch
+    ``scd2_state_history`` catalog query restricted to CLOSED
+    intervals — the still-open run per user lives in the state store,
+    exactly as a warehouse CDC pipeline keeps the open SCD2 row
+    outside the immutable history.
+
+    Exact under ANY micro-batch boundary: processing is pure
+    carry-forward with no lookahead, and the hub replays per-partition
+    in seqNo order, which is per-user (enq_us, sequenceNumber) order —
+    the same total order the batch oracle sorts by. Scale: state is
+    one (string, long, long) per user; output rows only on change."""
+    keyed = sdf.select(
+        F.col("properties").getItem(user_key).alias("user_id_str"),
+        F.col("properties").getItem("event_type").alias("event_type"),
+        F.unix_micros("enqueuedTime").alias("enq_us"),
+        F.col("sequenceNumber"),
+    )
+    return keyed.groupBy("user_id_str").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -400,3 +400,44 @@ def test_streaming_catalog_entries_leave_no_active_queries(spark):
     df2 = entry.queries()["stream_asof_join"](spark, SF_DIR)
     assert df2.count() > 0
     assert spark.streams.active == []
+
+
+def test_streaming_scd2_matches_batch_closed_intervals(spark, hub_dir, tmp_path):
+    """The SCD2 twin must emit exactly the batch scd2_state_history
+    intervals that CLOSE (valid_to_us set); the per-user open run
+    stays in the state store. Multi-trigger so runs demonstrably span
+    micro-batch boundaries."""
+    import __spark_entry__ as entry
+
+    from spark_eventhubs_spark.streaming.stateful import streaming_scd2
+
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", hub_dir)
+        .option("maxEventsPerTrigger", "300")
+        .option("eventhubs.consumerGroup", "scd2_test")
+        .load()
+    )
+    q = (
+        streaming_scd2(sdf)
+        .writeStream.format("memory")
+        .queryName("scd2_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_scd2"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id_str"], r["state"], r["valid_from_us"],
+         r["valid_to_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM scd2_out").collect()
+    }
+    batch = {
+        (r["user_id_str"], r["state"], r["valid_from_us"],
+         r["valid_to_us"], r["n_events"])
+        for r in entry.queries()["scd2_state_history"](spark, SF_DIR).collect()
+        if r["valid_to_us"] is not None
+    }
+    assert got == batch and got
