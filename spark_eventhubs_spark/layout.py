@@ -205,3 +205,79 @@ def file_overlap_count(
                 and hi_d >= day_range[0] and lo_d <= day_range[1]:
             n_overlap += 1
     return len(files), n_overlap
+
+
+# ---------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------
+
+def parquet_bytes(path: str) -> int:
+    """Total bytes of the ``*.parquet`` files under ``path``
+    (recursive — hive partition dirs included)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Compact a directory of small parquet files into
+    ``ceil(total_bytes / target_bytes)`` files at ``dst``; returns the
+    output file count.
+
+    Streaming sinks and over-parallel writes leave thousands of
+    KB-sized files; at 100 TB that is millions of scan tasks and a
+    NameNode/listing bottleneck, and the fix must NOT cost a shuffle —
+    ``coalesce`` merges input splits per output task (narrow
+    dependency), so compaction reads every byte once and never
+    repartitions. Row order within merged files is input-file order;
+    compaction guarantees multiset equality only, like any table
+    OPTIMIZE."""
+    n_out = max(1, -(-parquet_bytes(src) // target_bytes))
+    spark.read.parquet(src).coalesce(n_out).write.mode(
+        "error"
+    ).parquet(dst)
+    return parquet_file_count(dst)
+
+
+def compact_hive_partitions(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Per-partition small-file compaction for a hive-layout directory
+    (``key=value`` subdirs): each partition directory is coalesced
+    independently to its own byte-proportional file count, preserving
+    the partition layout at ``dst``. The loop is bounded by the
+    partition-directory count (a driver-side listing, not data), and
+    each sub-job stays shuffle-free. Returns total output files."""
+    parts = sorted(
+        d for d in os.listdir(src)
+        if "=" in d and os.path.isdir(os.path.join(src, d))
+    )
+    if not parts:
+        return compact_files(spark, src, dst, target_bytes)
+    os.makedirs(dst, exist_ok=True)
+    total = 0
+    for d in parts:
+        total += compact_files(
+            spark, os.path.join(src, d), os.path.join(dst, d), target_bytes
+        )
+    return total

@@ -116,3 +116,50 @@ def test_zvalue_roundtrips_by_property():
         assert 0 <= z < 1 << (2 * bits)
 
     check()
+
+
+def test_compact_files_merges_without_shuffle(spark, tmp_path):
+    """compact_files: many tiny files -> byte-targeted few, identical
+    row multiset, and a shuffle-free (coalesce) plan."""
+    from spark_eventhubs_spark import layout as L
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.repartition(40).write.parquet(src)  # simulate a sink's tiny files
+    assert L.parquet_file_count(src) == 40
+
+    total = L.parquet_bytes(src)
+    n_out = L.compact_files(spark, src, dst, target_bytes=total // 3)
+    assert n_out <= 4  # ceil(total / (total//3)) with fs slack
+    assert n_out < 40
+    # multiset equality via count + per-type counts
+    a = spark.read.parquet(src).groupBy("event_type").count().collect()
+    b = spark.read.parquet(dst).groupBy("event_type").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the compaction plan itself is narrow — no Exchange
+    plan = (
+        spark.read.parquet(src).coalesce(3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_compact_hive_partitions_preserves_layout(spark, tmp_path):
+    from spark_eventhubs_spark import layout as L
+
+    src, dst = str(tmp_path / "hsmall"), str(tmp_path / "hcompacted")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.withColumn("et", F.col("event_type")).repartition(10).write.partitionBy(
+        "et"
+    ).parquet(src)
+    before = L.parquet_file_count(src)
+    assert before >= 30  # ~10 files per partition value
+    L.compact_hive_partitions(spark, src, dst, target_bytes=1 << 30)
+    # one file per partition dir at a huge target
+    parts = [d for d in sorted(os.listdir(dst)) if d.startswith("et=")]
+    assert len(parts) == 5
+    for d in parts:
+        assert L.parquet_file_count(os.path.join(dst, d)) == 1
+    a = spark.read.parquet(src).count()
+    b = spark.read.parquet(dst).count()
+    assert a == b
