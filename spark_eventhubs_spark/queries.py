@@ -156,6 +156,11 @@ _DRIVER_GREEN = frozenset({
     # driver-covered via the still-pending embed_ann_lsh — the slot
     # funds stream_scd2's driver row
     "embed_ivf_ann",
+    # g1_rollup_revenue: r02 driver-green; its nation/region bounded
+    # hints are separately plan-pinned and the grouping-sets family
+    # keeps driver coverage via the still-pending g3/g4 entries — the
+    # slot funds stats_orders_profile's driver row
+    "g1_rollup_revenue",
 })
 
 
@@ -3762,4 +3767,73 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""SELECT user_id_str, state, valid_from_us, valid_to_us, n_events
             FROM {name}"""
+    )
+
+
+@register(
+    "stats_orders_profile",
+    """WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(*) - COUNT(o_custkey) AS nn_custkey,
+    COUNT(DISTINCT o_custkey) AS ndv_custkey,
+    MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+    COUNT(*) - COUNT(o_totalprice) AS nn_price,
+    COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ndv_price,
+    CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS min_price,
+    CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS max_price,
+    COUNT(*) - COUNT(o_orderdate) AS nn_date,
+    COUNT(DISTINCT o_orderdate) AS ndv_date,
+    CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS min_date,
+    CAST(epoch_us(MAX(o_orderdate)) AS BIGINT) AS max_date,
+    COUNT(*) - COUNT(o_orderpriority) AS nn_prio,
+    COUNT(DISTINCT o_orderpriority) AS ndv_prio,
+    CAST(NULL AS BIGINT) AS min_prio, CAST(NULL AS BIGINT) AS max_prio
+  FROM orders
+)
+SELECT 'o_custkey' AS col, n_rows, CAST(nn_custkey AS BIGINT) AS n_nulls,
+  CAST(ndv_custkey AS BIGINT) AS ndv, CAST(min_custkey AS BIGINT) AS min_i,
+  CAST(max_custkey AS BIGINT) AS max_i FROM a
+UNION ALL SELECT 'o_totalprice', n_rows, CAST(nn_price AS BIGINT),
+  CAST(ndv_price AS BIGINT), min_price, max_price FROM a
+UNION ALL SELECT 'o_orderdate', n_rows, CAST(nn_date AS BIGINT),
+  CAST(ndv_date AS BIGINT), min_date, max_date FROM a
+UNION ALL SELECT 'o_orderpriority', n_rows, CAST(nn_prio AS BIGINT),
+  CAST(ndv_prio AS BIGINT), min_prio, max_prio FROM a""",
+)
+def stats_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in ONE scan — the ANALYZE-style stats (rows,
+    nulls, NDV, min/max) that feed CBO/broadcast decisions, emitted as
+    one row per column via ``stack``. Values are canonical integers
+    (cents / epoch-us; lexical-only columns profile NULL bounds) so
+    the profile is engine-exact. Scale: a single pass; the exact
+    COUNT(DISTINCT)s expand map-side (Spark's Expand) — at 100 TB you
+    flip them to approx_count_distinct, same shape."""
+    o = _table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("ndv_custkey"),
+        F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        F.max("o_custkey").cast("bigint").alias("max_custkey"),
+        (F.count("*") - F.count("o_totalprice")).alias("nn_price"),
+        F.count_distinct(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("ndv_price"),
+        F.round(F.min("o_totalprice") * 100).cast("bigint").alias("min_price"),
+        F.round(F.max("o_totalprice") * 100).cast("bigint").alias("max_price"),
+        (F.count("*") - F.count("o_orderdate")).alias("nn_date"),
+        F.count_distinct("o_orderdate").alias("ndv_date"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias("min_date"),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("max_date"),
+        (F.count("*") - F.count("o_orderpriority")).alias("nn_prio"),
+        F.count_distinct("o_orderpriority").alias("ndv_prio"),
+    )
+    return a.selectExpr(
+        """stack(4,
+          'o_custkey', n_rows, nn_custkey, ndv_custkey, min_custkey, max_custkey,
+          'o_totalprice', n_rows, nn_price, ndv_price, min_price, max_price,
+          'o_orderdate', n_rows, nn_date, ndv_date, min_date, max_date,
+          'o_orderpriority', n_rows, nn_prio, ndv_prio,
+            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        ) AS (col, n_rows, n_nulls, ndv, min_i, max_i)"""
     )
