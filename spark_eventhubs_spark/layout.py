@@ -281,3 +281,45 @@ def compact_hive_partitions(
             spark, os.path.join(src, d), os.path.join(dst, d), target_bytes
         )
     return total
+
+
+# ---------------------------------------------------------------------
+# Partition-keyed layout + dynamic partition pruning
+# ---------------------------------------------------------------------
+
+EVENT_CATEGORIES = [
+    ("click", "funnel"),
+    ("view", "funnel"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+_PCACHE: dict = {}
+
+
+def ensure_type_partitioned(spark: SparkSession, sf_dir: str):
+    """Idempotent per-(session, source) ingest of events hive-
+    partitioned by event_type, plus a tiny parquet category dimension
+    — the layout that lets Spark's dynamic partition pruning (DPP)
+    decide AT RUNTIME which partitions a dim-filtered join touches.
+    Returns (events_path, dim_path)."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(os.path.normpath(sf_dir)),
+        "type_partitioned",
+    )
+    paths = _PCACHE.get(key)
+    if paths is not None and os.path.isdir(paths[0]):
+        return paths
+    location = tempfile.mkdtemp(prefix="seh_typed_")
+    ev_path = os.path.join(location, "events")
+    dim_path = os.path.join(location, "dim")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.partitionBy(
+        "event_type"
+    ).parquet(ev_path)
+    spark.createDataFrame(
+        EVENT_CATEGORIES, "event_type string, category string"
+    ).coalesce(1).write.parquet(dim_path)
+    _PCACHE[key] = (ev_path, dim_path)
+    return ev_path, dim_path

@@ -161,6 +161,10 @@ _DRIVER_GREEN = frozenset({
     # keeps driver coverage via the still-pending g3/g4 entries — the
     # slot funds stats_orders_profile's driver row
     "g1_rollup_revenue",
+    # q7: r02 driver-green; its nation-pair hints are plan-pinned and
+    # the multi-join TPC-H family keeps driver coverage via the
+    # still-pending q8/q9 — the slot funds layout_dpp_scan's row
+    "q7_volume_shipping",
 })
 
 
@@ -3836,4 +3840,45 @@ def stats_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           'o_orderpriority', n_rows, nn_prio, ndv_prio,
             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         ) AS (col, n_rows, n_nulls, ndv, min_i, max_i)"""
+    )
+
+
+@register(
+    "layout_dpp_scan",
+    """WITH dim AS (
+  SELECT * FROM (VALUES
+    ('click','funnel'), ('view','funnel'), ('purchase','conversion'),
+    ('signup','conversion'), ('error','ops')
+  ) AS t(event_type, category)
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events e JOIN dim ON e.event_type = dim.event_type
+WHERE dim.category = 'funnel'
+GROUP BY 1""",
+)
+def layout_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: events live hive-
+    partitioned by event_type (session ingest artifact,
+    layout.ensure_type_partitioned) and the category dimension decides
+    AT RUNTIME which partitions the join reads — the scan's
+    PartitionFilters carry a dynamicpruningexpression fed by the
+    broadcast dim (plan-pinned), so only the 'funnel' types' files are
+    ever opened. At 100 TB this is the mechanism that turns a
+    dim-filtered fact join from a full scan into a 2-of-5-partition
+    read with no static predicate anywhere."""
+    from spark_eventhubs_spark import layout as L
+
+    ev_path, dim_path = L.ensure_type_partitioned(spark, sf_dir)
+    ev = spark.read.parquet(ev_path)
+    dim = spark.read.parquet(dim_path).where(F.col("category") == "funnel")
+    return (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+        )
     )

@@ -513,3 +513,17 @@ def test_mad_hints_are_bounded_frames_only(spark):
     df = Q.queries()["ts_mad_outliers"](spark, SF_DIR)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("strategy=broadcast") == 3
+
+
+def test_dpp_scan_prunes_partitions_dynamically(spark):
+    """layout_dpp_scan: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression fed by the dim side — runtime partition
+    pruning, not a static predicate."""
+    df = Q.queries()["layout_dpp_scan"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in phys.lower()
+    scan_lines = [
+        ln for ln in phys.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln.lower()
+    ]
+    assert scan_lines, "no dynamically-pruned scan in the plan"
