@@ -165,6 +165,10 @@ _DRIVER_GREEN = frozenset({
     # the multi-join TPC-H family keeps driver coverage via the
     # still-pending q8/q9 — the slot funds layout_dpp_scan's row
     "q7_volume_shipping",
+    # q2: r02 driver-green; the correlated-min/agg-then-join family
+    # keeps driver coverage via the still-pending q11/q15/q20 — the
+    # slot funds stream_enrich_join's row
+    "q2_min_cost_part",
 })
 
 
@@ -3881,4 +3885,35 @@ def layout_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value_cents"
             ),
         )
+    )
+
+
+@register("stream_enrich_join", _ORACLES["hub_enrich_join"])
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining streaming join
+    family: the hub stream joins the STATIC customer dimension
+    (re-planned per micro-batch, no join state at all) and aggregates
+    per market segment in complete mode; after the drain the sink must
+    hash-match the batch hub_enrich_join exactly. Scale: stateless
+    join (the dim is sized by AQE each trigger); agg state = |segments|
+    rows."""
+    sdf, name = _rate_limited_hub_stream(spark, sf_dir, "cat_senr")
+    cust = _table(spark, sf_dir, "customer")
+    joined = (
+        sdf.select(
+            F.col("properties").getItem("user_id").cast("bigint").alias("custkey"),
+            F.col("properties").getItem("value_cents").cast("bigint").alias(
+                "value_cents"
+            ),
+        )
+        .join(cust, F.col("custkey") == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value_cents").cast("bigint").alias("sum_value_cents"),
+        )
+    )
+    _run_stream_to_memory(joined, name, available_now=False, mode="complete")
+    return spark.sql(
+        f"SELECT mktsegment, cnt, sum_value_cents FROM {name}"
     )
