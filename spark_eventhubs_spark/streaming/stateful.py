@@ -445,3 +445,83 @@ def streaming_scd2(sdf: DataFrame, user_key: str = "user_id") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Event-time-timeout state eviction (inactivity flagging)
+# ---------------------------------------------------------------------
+
+_IDLE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_seen_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_IDLE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("last_seen_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _idle_update_fn(idle_us: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            # watermark passed last_seen + idle horizon: emit the
+            # inactivity record and EVICT the state — the pattern that
+            # keeps per-key state bounded by the active-key set, not
+            # the all-time key set
+            last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user, int(last), int(n))],
+                columns=["user_id", "last_seen_us", "n_events"],
+            ).astype({"last_seen_us": "int64", "n_events": "int64"})
+            return
+        last, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                last = max(int(last), int(pdf["enq_us"].max()))
+                n += len(pdf)
+        state.update((int(last), int(n)))
+        # timeout fires when the event-time watermark passes this
+        state.setTimeoutTimestamp(int(last) // 1000 + idle_us // 1000)
+        yield pd.DataFrame(
+            [], columns=["user_id", "last_seen_us", "n_events"]
+        ).astype(
+            {"user_id": "object", "last_seen_us": "int64", "n_events": "int64"}
+        )
+
+    return fn
+
+
+def streaming_idle_users(
+    sdf: DataFrame,
+    idle: str = "1 hour",
+    idle_us: int = 3_600_000_000,
+    user_key: str = "user_id",
+) -> DataFrame:
+    """Inactivity detection via EVENT-TIME state timeouts: a user's
+    (last_seen, count) state times out — and is REMOVED — once the
+    watermark passes their last event plus the idle horizon, emitting
+    one inactivity record. This is the state-eviction pattern that
+    bounds applyInPandasWithState memory by the ACTIVE key set at any
+    watermark, not the all-time key set — without it, 100 TB of
+    history means state for every user ever seen."""
+    keyed = sdf.select(
+        F.col("properties").getItem(user_key).alias("user_id"),
+        F.col("enqueuedTime").alias("ev_time"),
+        F.unix_micros("enqueuedTime").alias("enq_us"),
+    ).withWatermark("ev_time", idle)
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _idle_update_fn(idle_us),
+        outputStructType=_IDLE_OUT_SCHEMA,
+        stateStructType=_IDLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

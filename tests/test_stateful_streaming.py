@@ -441,3 +441,61 @@ def test_streaming_scd2_matches_batch_closed_intervals(spark, hub_dir, tmp_path)
         if r["valid_to_us"] is not None
     }
     assert got == batch and got
+
+
+def test_streaming_idle_users_event_time_timeout(spark, hub_dir, tmp_path):
+    """EventTimeTimeout end-to-end: every user's state must time out
+    (watermark passes last_seen + idle) and emit exactly one
+    inactivity record with their true last event time and count —
+    EXCEPT users whose last activity sits within the idle horizon of
+    the stream's maximum event time, whose state legitimately
+    survives. With a 1-hour idle horizon the drain's final watermark
+    (max event time - 1h delay) passes everyone idle for >2h."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_idle_users
+
+    sdf = (
+        spark.readStream.format("eventhubs")
+        .option("path", hub_dir)
+        .option("maxEventsPerTrigger", "300")
+        .option("eventhubs.consumerGroup", "idle_test")
+        .load()
+    )
+    q = (
+        streaming_idle_users(sdf)
+        .writeStream.format("memory")
+        .queryName("idle_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c_idle"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["user_id"]: (r["last_seen_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM idle_out").collect()
+    }
+    hub = spark.read.parquet(f"{hub_dir}")
+    truth = {
+        str(r["uid"]): (r["last_us"], r["n"])
+        for r in (
+            hub.groupBy(F.col("properties").getItem("user_id").alias("uid"))
+            .agg(
+                F.max(F.unix_micros("enqueuedTime")).alias("last_us"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+    }
+    max_us = max(v[0] for v in truth.values())
+    two_h = 2 * 3_600_000_000
+    must_emit = {u for u, v in truth.items() if v[0] + two_h <= max_us}
+    assert must_emit, "testdata should have users idle >2h before the end"
+    for u in must_emit:
+        assert u in got, f"user {u} never timed out"
+    # every emitted record is exact
+    for u, rec in got.items():
+        assert rec == truth[u], (u, rec, truth[u])
+    # no user emits twice (state removed on timeout)
+    n_rows = spark.sql("SELECT COUNT(*) c FROM idle_out").collect()[0]["c"]
+    assert n_rows == len(got)
