@@ -122,6 +122,18 @@ def main() -> None:
     bm25_topk(docs, query_terms=["spark", "shuffle", "corpus"]).count()
     report("bm25_100k_docs", n_docs, time.time() - t0)
 
+    # --- runtime bloom prune: 20M-row probe vs a 2%-selective build ---
+    from spark_eventhubs_spark.operators import runtime_filter as RF
+
+    probe = spark.range(n_events).select(
+        (F.col("id") % 2_000_000).alias("k"), F.col("id").alias("v")
+    )
+    build = spark.range(40_000).select((F.col("id") * 50).alias("k"))
+    t0 = time.time()
+    pos = RF.bloom_positions(build, "k")
+    RF.bloom_prune(probe, "k", pos).join(build, "k").count()
+    report("bloom_prune_join_20M", n_events, time.time() - t0)
+
     spark.stop()
 
 
