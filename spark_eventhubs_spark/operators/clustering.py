@@ -263,7 +263,7 @@ def _oracle_kmeans_cte(
 ), c{it}raw AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cvec FROM s{it} GROUP BY cid
 ), c{it} AS (
   SELECT sd.cid, COALESCE(c.cvec, sd.cvec) AS cvec
-  FROM seeds sd LEFT JOIN c{it}raw c USING (cid)
+  FROM {prev} sd LEFT JOIN c{it}raw c USING (cid)
 )""")
         prev = f"c{it}"
     parts.append(f"""af AS (

@@ -881,10 +881,12 @@ def oracle_chunk_dedup(w: int = CHUNK_W) -> str:
 
     return f"""WITH base AS (
   SELECT doc_id, {_oracle_tokens('text')} AS toks FROM documents
+), chj AS (
+  SELECT doc_id, unnest(range(0, (len(toks)+{w - 1})//{w})) AS j, toks
+  FROM base
 ), ch AS (
   SELECT doc_id, j, array_to_string(toks[(j*{w})+1 : (j+1)*{w}], ' ') AS chunk
-  FROM base, range(0, 64) t(j)
-  WHERE j*{w} < len(toks)
+  FROM chj
 ), st AS (
   SELECT chunk, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
   FROM ch GROUP BY 1

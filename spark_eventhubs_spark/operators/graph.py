@@ -95,6 +95,11 @@ def pagerank(
             )
         )
         gathered = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # Per-round lineage truncation (the near_dup_components
+        # pattern): without it each iteration's plan embeds all prior
+        # iterations, so analysis cost and lineage depth grow with
+        # ``iters``. The ranks frame is |nodes| rows — cheap to
+        # materialize — and checkpointed blocks free the prior round's.
         ranks = (
             nodes.select("node")
             .join(gathered, "node", "left")
@@ -104,6 +109,7 @@ def pagerank(
                 .cast("long")
                 .alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("node").asc())

@@ -832,20 +832,23 @@ def ivf_build_index(
     rows. Rebuild = rerun; incremental append = assign + append into
     the same partitioned layout.
     """
-    cent_rows = sorted(
-        df.where(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect(),
-        key=lambda r: r["cid"],
-    )
-    cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
     if refine_iters > 0:
-        # function-level import: clustering imports this module
+        # function-level import: clustering imports this module.
+        # kmeans_centroids collects its own seeds, so the unrefined
+        # seed collect below would be a wasted driver job here.
         from spark_eventhubs_spark.operators.clustering import kmeans_centroids
 
         cents = kmeans_centroids(
             df, k=n_cells, iters=refine_iters, id_col=id_col, vec_col=vec_col
         )
+    else:
+        cent_rows = sorted(
+            df.where(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .collect(),
+            key=lambda r: r["cid"],
+        )
+        cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
 
     import numpy as np
 

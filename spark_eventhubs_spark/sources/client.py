@@ -55,18 +55,33 @@ class SimulatedClient:
 
     def _time_seq_nos(self, ts_list) -> Dict[Tuple[int, str], int]:
         """min(seqNo) per (partition, t) for every distinct enqueuedTime
-        bound needed — one job for all partitions and times."""
-        df = self.hub.dataframe()
+        bound needed — ONE conditional-min aggregation job for all
+        partitions and times (``min(seqNo) FILTER (enqueuedTime >= t)``
+        per bound), map-side combined. A (partition, t) with no event at
+        or after t aggregates to NULL and is omitted, so the caller's
+        fall-back-to-latest behavior is unchanged."""
+        ts_list = list(ts_list)
+        if not ts_list:
+            return {}
+        rows = (
+            self.hub.dataframe()
+            .groupBy("partition")
+            .agg(*[
+                F.min(
+                    F.when(
+                        F.col("enqueuedTime") >= F.lit(t),
+                        F.col("sequenceNumber"),
+                    )
+                ).alias(f"t{i}")
+                for i, t in enumerate(ts_list)
+            ])
+            .collect()
+        )
         out: Dict[Tuple[int, str], int] = {}
-        for t in ts_list:
-            rows = (
-                df.where(F.col("enqueuedTime") >= F.lit(t))
-                .groupBy("partition")
-                .agg(F.min("sequenceNumber").alias("seq"))
-                .collect()
-            )
-            for r in rows:
-                out[(int(r["partition"]), str(t))] = int(r["seq"])
+        for r in rows:
+            for i, t in enumerate(ts_list):
+                if r[f"t{i}"] is not None:
+                    out[(int(r["partition"]), str(t))] = int(r[f"t{i}"])
         return out
 
     def translate(self, conf: EventHubsConf, use_start: bool = True) -> Dict[int, int]:

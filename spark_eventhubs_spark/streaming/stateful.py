@@ -500,10 +500,30 @@ def _idle_update_fn(idle_us: int):
     return fn
 
 
+_INTERVAL_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+}
+
+
+def _interval_to_us(interval: str) -> int:
+    """Parse a Spark watermark-delay interval string ('1 hour',
+    '30 minutes', ...) into microseconds, so the watermark delay and
+    the state-timeout horizon share ONE source of truth."""
+    total, parts = 0, interval.strip().lower().split()
+    if len(parts) % 2 or not parts:
+        raise ValueError(f"unsupported interval string: {interval!r}")
+    for val, unit in zip(parts[::2], parts[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _INTERVAL_US:
+            raise ValueError(f"unsupported interval unit in {interval!r}: {unit}")
+        total += int(val) * _INTERVAL_US[unit]
+    return total
+
+
 def streaming_idle_users(
     sdf: DataFrame,
     idle: str = "1 hour",
-    idle_us: int = 3_600_000_000,
     user_key: str = "user_id",
 ) -> DataFrame:
     """Inactivity detection via EVENT-TIME state timeouts: a user's
@@ -512,7 +532,10 @@ def streaming_idle_users(
     one inactivity record. This is the state-eviction pattern that
     bounds applyInPandasWithState memory by the ACTIVE key set at any
     watermark, not the all-time key set — without it, 100 TB of
-    history means state for every user ever seen."""
+    history means state for every user ever seen. ``idle`` drives BOTH
+    the watermark delay and the timeout horizon (derived via
+    :func:`_interval_to_us`), so the two can never disagree."""
+    idle_us = _interval_to_us(idle)
     keyed = sdf.select(
         F.col("properties").getItem(user_key).alias("user_id"),
         F.col("enqueuedTime").alias("ev_time"),

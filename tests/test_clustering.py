@@ -54,6 +54,76 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark, emb):
     tiny.unpersist()
 
 
+# 8-vector config (first 4 of 64 dims; rest 0) found by exact
+# simulation of the integer-sum Lloyd kernel: with k=3, iters=2,
+# cluster 1 is NON-empty in iteration 1 and EMPTY in iteration 2, and
+# rows 1-2 end up in cluster 2 under the implementation's
+# keep-previous-centroid fallback but in cluster 1 under a
+# fall-back-to-seed rule. This is the case where the oracle's COALESCE
+# arm must reference the previous iteration's centroids, not the seeds.
+_EMPTY_CELL_ROWS = [
+    [0.41981279850006104, -0.25897857546806335, 0.30688729882240295, 0.9151789546012878],
+    [-0.39657503366470337, 0.5090429782867432, -0.27977609634399414, 0.35367804765701294],
+    [-0.2029503434896469, 0.6252596378326416, -0.3956459164619446, 0.4523981809616089],
+    [-0.5292375087738037, -0.7437821626663208, -0.785832405090332, 0.8059456944465637],
+    [-0.7106785774230957, -0.913072407245636, -0.8330853581428528, 0.7745953798294067],
+    [-0.5957685112953186, 0.8412346839904785, -0.12807892262935638, -0.26263299584388733],
+    [0.14929701387882233, -0.2423316240310669, 0.31037449836730957, 0.9835248589515686],
+    [0.6706130504608154, -0.4859130084514618, -0.7694361805915833, 0.43362361192703247],
+]
+_EMPTY_CELL_EXPECT_PREV = [
+    (0, 0, 680728), (1, 2, 961954), (2, 2, 915168), (3, 0, 890927),
+    (4, 0, 845710), (5, 2, 869896), (6, 0, 729975), (7, 0, 711397),
+]
+_EMPTY_CELL_EXPECT_SEED = [
+    (0, 0, 680728), (1, 1, 1000000), (2, 1, 954743), (3, 0, 890927),
+    (4, 0, 845710), (5, 2, 869896), (6, 0, 729975), (7, 0, 711397),
+]
+
+
+def test_kmeans_iter2_empty_cell_matches_oracle(spark):
+    """Forces a cluster that is non-empty in iteration 1 and empty in
+    iteration 2: the implementation keeps the PREVIOUS iteration's
+    centroid, and the DuckDB oracle must mirror that (its empty-cell
+    COALESCE left-joins onto c{it-1}, not the seeds). A seed-fallback
+    oracle diverges on this data — the hardcoded seed-rule expectation
+    pins that this test actually bites."""
+    import duckdb
+    import pandas as pd
+
+    vecs = [
+        np.concatenate([
+            np.array(r, dtype=np.float32),
+            np.zeros(CL.DIM - len(r), dtype=np.float32),
+        ])
+        for r in _EMPTY_CELL_ROWS
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r["vec_id"], r["cluster_id"], r["score_e6"])
+        for r in CL.kmeans_assign(df, k=3, iters=2).collect()
+    )
+    assert got == _EMPTY_CELL_EXPECT_PREV
+    assert got != _EMPTY_CELL_EXPECT_SEED  # the divergent case is live
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({
+            "vec_id": list(range(len(vecs))),
+            "embedding": [v for v in vecs],  # float32 -> FLOAT[] in duckdb
+        }),
+    )
+    oracle = sorted(
+        tuple(r) for r in
+        con.sql(CL.oracle_kmeans_assign(k=3, iters=2)).fetchall()
+    )
+    assert oracle == _EMPTY_CELL_EXPECT_PREV
+
+
 def test_semdedup_witness_rule_against_numpy(spark, emb):
     """Every flagged vector has >= n_dups smaller-id same-cluster
     witnesses above tau; every kept vector has none — recomputed

@@ -44,6 +44,21 @@ def test_pagerank_mass_is_bounded(spark):
     assert ranks[0] > ranks[len(ranks) // 2]
 
 
+def test_pagerank_plan_depth_constant_across_iterations(spark):
+    """Per-round localCheckpoint truncates lineage: the final plan's
+    size must not grow with ``iters`` (pre-fix, each iteration embedded
+    every prior one — plan analysis cost grew per round and anyone
+    raising ``iters`` hit it quadratically)."""
+    li = spark.createDataFrame(
+        [(100, 1), (100, 2), (200, 2), (200, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    p2 = G.pagerank(li, iters=2)._jdf.queryExecution().analyzed().toString()
+    p6 = G.pagerank(li, iters=6)._jdf.queryExecution().analyzed().toString()
+    assert len(p6) <= len(p2) + 200  # constant-depth: only literals differ
+    assert p6.count("Join") == p2.count("Join")
+
+
 def test_pagerank_tiny_graph_hand_computed(spark):
     """Integer PageRank on a 3-node path graph (1-2, 2-3 co-purchase
     orders), checked against a literal python re-computation of the

@@ -107,6 +107,33 @@ def test_translate_enqueued_time(client, hub, sf_dir):
         assert got[p] == expected.get(p, bounds[p][1])
 
 
+def test_time_seq_nos_job_count_independent_of_bound_count(spark, client):
+    """The enqueuedTime translation is ONE conditional-min aggregation
+    for ALL distinct time bounds (min(seqNo) FILTER (enqueuedTime >= t)
+    per bound) — the reference resolves each bound with per-partition
+    service probes (EventHubsClient.scala:306-338); ours must not run
+    one Spark job per bound either. AQE may split a single action into
+    several jobs, so pin that the job count does not GROW with the
+    number of bounds."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    ts = [datetime(2024, 1, d, tzinfo=timezone.utc) for d in (5, 10, 15, 20)]
+    client._time_seq_nos(ts[:1])  # warm: parquet footer reads, caches
+
+    sc.setJobGroup("tsn-one", "one bound")
+    client._time_seq_nos(ts[:1])
+    sc.setJobGroup("tsn-four", "four bounds")
+    four = client._time_seq_nos(ts)
+    sc.setJobGroup("tsn-done", "")
+    one_jobs = len(tracker.getJobIdsForGroup("tsn-one"))
+    four_jobs = len(tracker.getJobIdsForGroup("tsn-four"))
+    assert four_jobs == one_jobs
+    # and the merged result still matches per-bound resolution
+    for t in ts:
+        single = client._time_seq_nos([t])
+        assert single == {k: v for k, v in four.items() if k[1] == str(t)}
+
+
 def test_translate_time_past_latest_resolves_to_latest(client, sf_dir):
     conf = conf_for(sf_dir)
     conf.set_starting_position(
