@@ -302,6 +302,86 @@ def hub_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hub_log_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat hub projection over the MATERIALIZED hub log (the steady-
+    state scan path): sequence numbers are physical storage columns in
+    the hive ``partition=<pid>/`` layout written by
+    ``datasource.materialize_hub`` — exactly how the real connector
+    stores broker-assigned seqNos (ref SimulatedEventHubs.scala:248-256)
+    — so the plan contains NO window derivation (pinned in
+    tests/test_plans.py) and seqNo range predicates prune on footer
+    stats. Same rows as ``load_hub_flat``'s view-mode shim by
+    construction; the materialization is a session-cached ingest
+    artifact shared with the streaming entries."""
+    from spark_eventhubs_spark.sources.hub import SimulatedEventHubs
+
+    def _build():
+        hub = SimulatedEventHubs(
+            spark, hub_log_dir=_hub_stream_dir(spark, sf_dir)
+        ).dataframe()
+        return hub.select(
+            F.col("body").cast("string").alias("body_str"),
+            F.col("partition"),
+            F.col("offset"),
+            F.col("sequenceNumber"),
+            F.unix_micros(F.col("enqueuedTime")).alias("enq_us"),
+            F.col("properties").getItem("event_type").alias("event_type"),
+            F.col("properties").getItem("user_id").alias("user_id_str"),
+            F.col("properties").getItem("value_cents").cast("long").alias("value_cents"),
+            F.col("properties").getItem("k").alias("prop_k"),
+        )
+
+    return cache_dataframe(spark, ("hub_log_flat", sf_dir), _build)
+
+
+@register(
+    "hub_log_window_agg",
+    oracle_hub_cte()
+    + """
+SELECT enq_us // 3600000000 AS hour_bucket,
+  COUNT(*) AS cnt,
+  CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+FROM hub GROUP BY 1""",
+)
+def hub_log_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hub_window_agg``'s hub-LOG twin under the IDENTICAL oracle:
+    the flagship window aggregation planned from the materialized log,
+    so the verified scan path carries storage-native sequence numbers —
+    no view-mode seqNo window anywhere in the plan. Scale: a straight
+    columnar scan of (enqueuedTime, properties) + map-side partial agg;
+    the one-time materialization cost is the ingest artifact's."""
+    return (
+        _hub_log_flat(spark, sf_dir)
+        .groupBy(F.expr("enq_us div 3600000000").alias("hour_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+
+
+@register(
+    "hub_log_bounded_scan",
+    oracle_hub_cte()
+    + """
+SELECT body_str, partition, sequenceNumber
+FROM hub WHERE sequenceNumber >= 100 AND sequenceNumber < 200""",
+)
+def hub_log_bounded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hub_bounded_scan``'s hub-LOG twin under the IDENTICAL oracle:
+    the S6 bounded range scan against physical seqNo columns, where the
+    [100, 200) predicate reaches the parquet scan as a pushed filter
+    over footer min/max stats (plan-pinned) — the reference's
+    receive(count, partition, seqNo) contract as pure storage pruning.
+    At 100 TB this is the difference between reading 4 row groups and
+    re-sorting the hub."""
+    return (
+        _hub_log_flat(spark, sf_dir)
+        .where((F.col("sequenceNumber") >= 100) & (F.col("sequenceNumber") < 200))
+        .select("body_str", "partition", "sequenceNumber")
+    )
+
+
 @register(
     "hub_take",
     oracle_hub_cte()

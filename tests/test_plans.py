@@ -527,3 +527,20 @@ def test_dpp_scan_prunes_partitions_dynamically(spark):
         if "PartitionFilters" in ln and "dynamicpruning" in ln.lower()
     ]
     assert scan_lines, "no dynamically-pruned scan in the plan"
+
+
+def test_hub_log_entries_have_no_window_shim(spark):
+    """The hub-log twins plan from STORAGE-native sequence numbers: no
+    Window node anywhere (the view-mode seqNo synthesis must not appear
+    in the materialized scan path), and the bounded scan's seqNo range
+    reaches the parquet scan as pushed filters over footer stats."""
+    agg = _explain(Q.queries()["hub_log_window_agg"](spark, SF_DIR))
+    assert "Window" not in agg
+    bounded = _explain(Q.queries()["hub_log_bounded_scan"](spark, SF_DIR))
+    assert "Window" not in bounded
+    assert "GreaterThanOrEqual(sequenceNumber,100)" in bounded.replace(" ", "")
+    assert "LessThan(sequenceNumber,200)" in bounded.replace(" ", "")
+    # the view-mode twin DOES carry the window — the pair documents
+    # exactly what materialization removes
+    view = _explain(Q.queries()["hub_bounded_scan"](spark, SF_DIR))
+    assert "Window" in view

@@ -499,3 +499,175 @@ def test_streaming_idle_users_event_time_timeout(spark, hub_dir, tmp_path):
     # no user emits twice (state removed on timeout)
     n_rows = spark.sql("SELECT COUNT(*) c FROM idle_out").collect()[0]["c"]
     assert n_rows == len(got)
+
+
+def _wait_for_commits(ckpt: str, n: int, timeout_s: int = 180) -> int:
+    """Poll the query checkpoint's commits/ dir until >= n batch commit
+    markers exist; returns the highest committed batchId."""
+    import time
+
+    deadline = time.time() + timeout_s
+    cdir = os.path.join(ckpt, "commits")
+    while time.time() < deadline:
+        ids = (
+            [int(f) for f in os.listdir(cdir) if f.isdigit()]
+            if os.path.isdir(cdir) else []
+        )
+        if len(ids) >= n:
+            return max(ids)
+        time.sleep(0.2)
+    raise AssertionError(f"checkpoint {ckpt} never reached {n} commits")
+
+
+def _crash_after_sink_commit(ckpt: str) -> int:
+    """Simulate a crash in the window AFTER the sink committed batch N
+    but BEFORE the engine wrote commits/N: delete the newest commit
+    marker. On restart the engine replays batch N from offsets/N; an
+    exactly-once sink must skip the duplicate addBatch (the recovery
+    contract the reference pins in EventHubsSourceSuite.scala:419-513)."""
+    cdir = os.path.join(ckpt, "commits")
+    newest = max(int(f) for f in os.listdir(cdir) if f.isdigit())
+    os.remove(os.path.join(cdir, str(newest)))
+    crc = os.path.join(cdir, f".{newest}.crc")
+    if os.path.exists(crc):  # Hadoop checksum sidecar blocks the rewrite
+        os.remove(crc)
+    return newest
+
+
+def test_stream_scd2_restart_mid_backlog_exactly_once(spark, hub_dir, tmp_path):
+    """Fault injection for the CDC twin: kill the drain mid-backlog
+    (stop + delete the newest commit marker = crash between sink commit
+    and engine commit), restart from the same checkpoint into the same
+    parquet sink, drain to completion. The sink must hold EXACTLY the
+    batch scd2 closed intervals — no lost interval (offset log resumes
+    where it stopped) and no duplicate (the replayed batch's addBatch
+    is skipped by the sink's own batchId ledger)."""
+    import __spark_entry__ as entry
+
+    from spark_eventhubs_spark.streaming.stateful import streaming_scd2
+
+    ckpt = str(tmp_path / "scd2_restart_ckpt")
+    sink = str(tmp_path / "scd2_restart_sink")
+
+    def start():
+        sdf = (
+            spark.readStream.format("eventhubs")
+            .option("path", hub_dir)
+            .option("eventhubs.maxEventsPerTrigger", "250")
+            .option("eventhubs.consumerGroup", "scd2_restart")
+            .load()
+        )
+        return (
+            streaming_scd2(sdf)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    q1 = start()
+    _wait_for_commits(ckpt, 2)
+    q1.stop()
+    replayed = _crash_after_sink_commit(ckpt)
+    assert replayed >= 1
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = sorted(
+        (r["user_id_str"], r["state"], r["valid_from_us"],
+         r["valid_to_us"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    batch = sorted(
+        (r["user_id_str"], r["state"], r["valid_from_us"],
+         r["valid_to_us"], r["n_events"])
+        for r in entry.queries()["scd2_state_history"](spark, SF_DIR).collect()
+        if r["valid_to_us"] is not None
+    )
+    assert got == batch and got  # sorted-list equality: dups would show
+
+
+def test_stream_sessionize_restart_mid_backlog_exactly_once(spark, tmp_path):
+    """Fault injection for the sessionize twin, against a PRIVATE hub
+    copy (the flush sentinel must not leak into the shared hub): crash
+    mid-backlog as above, restart, drain, then append the sentinel
+    through the real write path to flush every session. The sink must
+    hold exactly the batch gaps-and-islands session set."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from spark_eventhubs_spark.plans.hubview import load_hub_flat
+
+    hub = str(tmp_path / "sess_hub" / "events")
+    materialize_hub(spark, SF_DIR, hub)
+    register_eventhubs(spark)
+    ckpt = str(tmp_path / "sess_restart_ckpt")
+    sink = str(tmp_path / "sess_restart_sink")
+
+    bounds = load_hub_flat(spark, SF_DIR).agg(
+        F.min("enq_us").alias("lo"), F.max("enq_us").alias("hi")
+    ).first()
+    span_h = int((bounds["hi"] - bounds["lo"]) // 3_600_000_000) + 2
+
+    def start():
+        sdf = (
+            spark.readStream.format("eventhubs")
+            .option("path", hub)
+            .option("eventhubs.maxEventsPerTrigger", "250")
+            .option("eventhubs.consumerGroup", "sess_restart")
+            .load()
+        )
+        return (
+            streaming_sessionize(sdf, gap="30 minutes", delay=f"{span_h} hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    q1 = start()
+    _wait_for_commits(ckpt, 2)
+    q1.stop()
+    _crash_after_sink_commit(ckpt)
+
+    q2 = start()
+    q2.processAllAvailable()  # finish the real backlog first
+    sent = spark.createDataFrame([("sentinel",)], "body string").select(
+        "body",
+        F.create_map(
+            F.lit("user_id"), F.lit("zz_sentinel"),
+            F.lit("event_type"), F.lit("sentinel"),
+        ).alias("properties"),
+    )
+    sent.write.format("eventhubs").mode("append").option("path", hub).save()
+    q2.processAllAvailable()  # sentinel advances the watermark: full flush
+    q2.stop()
+
+    gap_us = 30 * 60 * 1_000_000
+    got = sorted(
+        (r["user_id"], r["start_us"], r["end_us"] - gap_us, r["n_events"])
+        for r in spark.read.parquet(sink)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+        .collect()
+        if r["user_id"] != "zz_sentinel"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    truth = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.sql(entry.oracle_sql()["stream_sessionize"]).fetchall()
+    )
+    assert got == truth and got
