@@ -21,6 +21,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+# 32 concurrent window/sort tasks over multi-M-row partitions need more
+# than the 1g local-mode default heap
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
 def main() -> None:
@@ -34,10 +37,11 @@ def main() -> None:
     spark = build_session("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def report(family: str, rows: int, sec: float) -> None:
+    def report(family: str, rows: int, sec: float, **extra) -> None:
         print(json.dumps({
             "family": family, "rows": rows, "sec": round(sec, 2),
             "rows_per_sec": int(rows / sec) if sec > 0 else -1,
+            **extra,
         }), flush=True)
 
     # --- synthetic hub stream: 20M events over 32 partitions ---
@@ -121,6 +125,90 @@ def main() -> None:
     t0 = time.time()
     bm25_topk(docs, query_terms=["spark", "shuffle", "corpus"]).count()
     report("bm25_100k_docs", n_docs, time.time() - t0)
+
+    # --- hot-user skew on the SCD2/funnel user-key exchange ---
+    # One user holds 10% of all rows (the worst realistic hot key for
+    # the window families, SURVEY §8). Two measurements:
+    # (a) the SCD2 window topology itself: window partitions cannot be
+    #     split, so the hot key IS one sequential per-key scan — the
+    #     measured wall time is the §8 claim that this stays bounded by
+    #     the hot key's row count, not the corpus;
+    # (b) the downstream user-key equi-join (current-state lookup, the
+    #     CDC enrich shape: every event joins its user's ONE open
+    #     interval — per-user match cardinality bounded by design; an
+    #     all-intervals join would be quadratic on the hot key and is
+    #     exactly what NOT to ship): AQE's OptimizeSkewedJoin must
+    #     split the oversized probe partition — asserted on the final
+    #     adaptive plan, reported as aqe_skew_split.
+    from spark_eventhubs_spark.queries import scd2_compact
+
+    skewed = spark.range(n_events).select(
+        F.when(F.col("id") % 10 == 0, F.lit("hot_user"))
+        .otherwise((F.col("id") % 100_000).cast("string"))
+        .alias("user_id_str"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("click", "view", "purchase", "signup", "error")]),
+            (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.lit(1_700_000_000_000_000) + F.col("id") * 50_000).alias("enq_us"),
+        F.col("id").alias("sequenceNumber"),
+    )
+    t0 = time.time()
+    n_iv = scd2_compact(skewed).count()
+    report("scd2_hot_user_window_20M", n_events, time.time() - t0,
+           hot_share=0.10, n_intervals=n_iv)
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        # Threshold scaled to the synthetic row volume: skew stats are
+        # COMPRESSED shuffle bytes, so absolute production defaults
+        # (256m) would never see a local-scale demo partition
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            str(max(262_144, n_events // 4)))
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       str(max(131_072, n_events // 8)))
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # force the shuffle join: a broadcast of the interval side would
+        # dodge the skewed exchange this family exists to measure
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Materialized like the stored current-state table of a real
+        # CDC pipeline. (Also load-bearing for the demo: un-materialized,
+        # the frame rides the window's existing hash(user_id_str)
+        # partitioning, the join side has no shuffle stage, and
+        # OptimizeSkewedJoin never applies.)
+        current = scd2_compact(skewed).where(
+            F.col("valid_to_us").isNull()  # one open interval per user
+        ).select("user_id_str", "state").localCheckpoint(eager=True)
+        t0 = time.time()
+        j = (
+            skewed.join(current, "user_id_str")
+            .groupBy("state")
+            .agg(F.count("*").alias("n"), F.sum("sequenceNumber").alias("s"))
+        )
+        n_states = len(j.collect())  # executes THIS plan: AQE finalizes it
+        sec = time.time() - t0
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("simple")
+        report("scd2_hot_user_enrich_join_20M", n_events, sec,
+               hot_share=0.10, n_states=n_states,
+               aqe_skew_split=("skew=true" in buf.getvalue()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     # --- runtime bloom prune: 20M-row probe vs a 2%-selective build ---
     from spark_eventhubs_spark.operators import runtime_filter as RF

@@ -7,10 +7,14 @@ over ``mapInPandas``.
 
 Decode support is split by dependency honesty:
 
-- formats needing external codec libraries (PNG/JPEG via PIL, video
-  via av/ffmpeg — NOT in this container) go through a clearly-marked
-  deterministic stub (`_fake_decode`) that derives pseudo-metadata
-  purely from byte content, keeping tests and oracles stable;
+- codec formats (PNG/JPEG/GIF/WebP) decode through PIL WHEN the
+  container ships it: `decode_image` dispatches their magic bytes to
+  the guarded `_decode_pil` path, so `image_stats` serves real
+  JPEG/PNG stats in PIL-equipped deployments and raises an explicit
+  NotImplementedError here (video via av/ffmpeg stays unwired); the
+  metadata-only operators use a clearly-marked deterministic stub
+  (`_fake_decode`) that derives pseudo-metadata purely from byte
+  content, keeping tests and oracles stable;
 - formats decodable with the stdlib + numpy decode FOR REAL: PCM WAV
   (`decode_wav`/`audio_features` — stdlib ``wave``), netpbm P5/P6
   (`decode_netpbm`/`image_stats`/`resize_netpbm` — header parse +
@@ -191,10 +195,16 @@ FROM fr"""
 
 def resize_stub(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Placeholder for a real resize: passes bytes through and records
-    the requested op in a metadata column. Raises if someone expects a
-    real pixel transform in this container."""
+    the requested op in a metadata column. Raises in PIL-equipped
+    containers so nobody mistakes the stub for a pixel transform there
+    — codec DECODE is wired (:func:`decode_image` -> ``_decode_pil``);
+    re-encode-after-resize is the part still declined (netpbm has the
+    real :func:`resize_netpbm`)."""
     if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real decoder path not wired yet")
+        raise NotImplementedError(
+            "container has PIL: use a real resize (resize_netpbm shows "
+            "the contract); this stub refuses to pretend"
+        )
     return df.withColumn("resize_op", F.lit("stub:keep-original"))
 
 
@@ -420,12 +430,45 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(arr)
 
 
+def _decode_pil(payload: bytes):
+    """PIL-backed decode to an (h, w, ch) uint8 array — the guarded
+    path for codec formats (JPEG/PNG/GIF/WebP). Only reachable when
+    the container ships PIL (REAL_DECODERS_AVAILABLE); grayscale stays
+    1-channel, everything else normalizes to RGB so the stats contract
+    matches the BMP/netpbm decoders."""
+    import io as _io
+
+    import numpy as np
+    import PIL.Image  # guarded by caller
+
+    img = PIL.Image.open(_io.BytesIO(payload))
+    if img.mode != "L":
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return np.ascontiguousarray(arr)
+
+
+_CODEC_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF")
+
+
 def decode_image(payload: bytes):
-    """Magic-byte dispatch over the container's real decoders: BMP
-    (``BM``) or netpbm (``P5``/``P6``). One entry point so
-    :func:`image_stats` handles mixed-format media columns."""
+    """Magic-byte dispatch over the available decoders: BMP (``BM``)
+    and netpbm (``P5``/``P6``) always decode for real (stdlib+numpy);
+    codec formats (PNG/JPEG/GIF/WebP) decode through PIL WHEN the
+    container ships it (REAL_DECODERS_AVAILABLE) and raise an explicit
+    NotImplementedError otherwise — never a silent fake. One entry
+    point so :func:`image_stats` handles mixed-format media columns."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if any(payload[: len(m)] == m for m in _CODEC_MAGICS):
+        if REAL_DECODERS_AVAILABLE:
+            return _decode_pil(payload)
+        raise NotImplementedError(
+            "PNG/JPEG/GIF/WebP decode needs PIL, which this container "
+            "does not ship; BMP and netpbm decode without it"
+        )
     return decode_netpbm(payload)
 
 

@@ -3691,6 +3691,41 @@ def opt_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_compact(hub: DataFrame) -> DataFrame:
+    """The SCD2 window topology over any (user_id_str, event_type,
+    enq_us, sequenceNumber) frame — shared by the catalog entry and
+    scripts/scale_smoke.py's hot-user skew family so both measure the
+    same code path. ONE hash exchange on user_id_str; all four window
+    computations reuse it."""
+    from pyspark.sql import Window
+
+    hub = hub.select("user_id_str", "event_type", "enq_us", "sequenceNumber")
+    w = Window.partitionBy("user_id_str").orderBy("enq_us", "sequenceNumber")
+    wu = Window.partitionBy("user_id_str")
+    prev = F.lag("event_type").over(w)
+    marked = hub.select(
+        "user_id_str",
+        "event_type",
+        "enq_us",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("chg"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n_user"),
+    )
+    starts = marked.where(F.col("chg") == 1)
+    w2 = Window.partitionBy("user_id_str").orderBy("rn")
+    return starts.select(
+        "user_id_str",
+        F.col("event_type").alias("state"),
+        F.col("enq_us").alias("valid_from_us"),
+        F.lead("enq_us").over(w2).alias("valid_to_us"),
+        (F.coalesce(F.lead("rn").over(w2), F.col("n_user") + 1) - F.col("rn"))
+        .cast("bigint")
+        .alias("n_events"),
+    )
+
+
 @register(
     "scd2_state_history",
     oracle_hub_cte()
@@ -3723,35 +3758,7 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags, row numbers, per-user counts, and the post-filter lead all
     reuse the same partitioning (pinned in tests/test_plans.py), so
     at 100 TB this is a single keyed shuffle plus per-key sorts."""
-    from pyspark.sql import Window
-
-    hub = load_hub_flat(spark, sf_dir).select(
-        "user_id_str", "event_type", "enq_us", "sequenceNumber"
-    )
-    w = Window.partitionBy("user_id_str").orderBy("enq_us", "sequenceNumber")
-    wu = Window.partitionBy("user_id_str")
-    prev = F.lag("event_type").over(w)
-    marked = hub.select(
-        "user_id_str",
-        "event_type",
-        "enq_us",
-        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
-        .otherwise(0)
-        .alias("chg"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wu).alias("n_user"),
-    )
-    starts = marked.where(F.col("chg") == 1)
-    w2 = Window.partitionBy("user_id_str").orderBy("rn")
-    return starts.select(
-        "user_id_str",
-        F.col("event_type").alias("state"),
-        F.col("enq_us").alias("valid_from_us"),
-        F.lead("enq_us").over(w2).alias("valid_to_us"),
-        (F.coalesce(F.lead("rn").over(w2), F.col("n_user") + 1) - F.col("rn"))
-        .cast("bigint")
-        .alias("n_events"),
-    )
+    return scd2_compact(load_hub_flat(spark, sf_dir))
 
 
 @register(

@@ -42,6 +42,13 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Local mode runs all executor threads inside the driver JVM, whose
+    # 1g default heap caps wide-operator scale far below the host's
+    # RAM; honored only at JVM launch (getOrCreate on a live JVM keeps
+    # the existing size).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        b = b.config("spark.driver.memory", mem)
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     elif cpus:

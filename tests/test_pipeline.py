@@ -335,3 +335,44 @@ def test_wav_container_round_trip():
     import math
 
     assert math.floor(math.sqrt(acc / n) * 1e6) == amp * 1_000_000
+
+
+def test_codec_decode_raises_without_pil():
+    """PNG/JPEG magic bytes must fail LOUDLY when PIL is absent — the
+    stub contract is explicit refusal, never fake pixels."""
+    import pytest
+
+    from spark_eventhubs_spark.operators import multimodal as M
+
+    if M.REAL_DECODERS_AVAILABLE:
+        pytest.skip("container ships PIL; covered by the PIL test")
+    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0JFIF"):
+        with pytest.raises(NotImplementedError, match="PIL"):
+            M.decode_image(magic + b"\x00" * 32)
+
+
+def test_codec_decode_real_stats_with_pil(spark):
+    """In a PIL-equipped container, image_stats serves REAL PNG pixel
+    stats through the same contract as BMP/netpbm (skips here)."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_eventhubs_spark.operators import multimodal as M
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "media": [bytearray(png)]})
+    )
+    row = M.image_stats(df).collect()[0]
+    flat = arr.reshape(-1).astype("int64")
+    assert (row["width"], row["height"], row["channels"]) == (3, 2, 3)
+    assert row["mean_e2"] == int(flat.sum()) * 100 // flat.size
+    assert (row["min_px"], row["max_px"]) == (int(flat.min()), int(flat.max()))

@@ -93,3 +93,66 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_scd2_hot_user_enrich_join(spark):
+    """The §8 skew story for the SCD2/funnel user-key family, pinned on
+    the REAL topology (scripts/scale_smoke.py's hot-user family is the
+    measured version): one user holds 10% of events; the SCD2 window
+    runs (per-key sequential scan — not splittable by design), and the
+    downstream current-state enrich join's oversized probe partition IS
+    split by AQE. Thresholds are scaled down because skew stats are
+    compressed shuffle bytes."""
+    import io
+    from contextlib import redirect_stdout
+
+    from spark_eventhubs_spark.queries import scd2_compact
+
+    n = 1_000_000
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            str(n // 4))
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       str(n // 8))
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        skewed = spark.range(n).select(
+            F.when(F.col("id") % 10 == 0, F.lit("hot_user"))
+            .otherwise((F.col("id") % 50_000).cast("string"))
+            .alias("user_id_str"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (F.pmod(F.xxhash64("id"), F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 50_000).alias("enq_us"),
+            F.col("id").alias("sequenceNumber"),
+        )
+        current = scd2_compact(skewed).where(
+            F.col("valid_to_us").isNull()
+        ).select("user_id_str", "state").localCheckpoint(eager=True)
+        j = (
+            skewed.join(current, "user_id_str")
+            .groupBy("state")
+            .agg(F.count("*").alias("cnt"), F.sum("sequenceNumber").alias("s"))
+        )
+        rows = j.collect()
+        assert len(rows) == 3
+        # exactly-once despite the split: counts total the input
+        assert sum(r["cnt"] for r in rows) == n
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("simple")
+        assert "skew=true" in buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
