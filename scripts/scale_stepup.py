@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""Scale step-up evidence: run the shuffle-heaviest catalog entries at
+1x / 2x / 5x / 10x the sf0.1 data (10x = sf1) and fit per-family
+wall-time scaling exponents.
+
+The step-up corpora are KEY-REMAPPED REPLICAS of sf0.1: copy i shifts
+every join/group key by i * (max_key + 1), so referential integrity,
+per-key row counts, skew shape, and selectivities are EXACTLY those of
+sf0.1 — the data grows, the distributions don't. Document texts get a
+per-copy token suffix (every token, pure JVM transform) so shingle /
+fingerprint / chunk structure repeats per copy instead of colliding
+across copies — duplicate mass scales linearly, never quadratically,
+which is what a bigger crawl of the same shape looks like. Events keep
+their time range (k-fold traffic density, the realistic way event
+volume grows).
+
+For each family the fit is least-squares slope of log(sec) on log(k)
+over k >= 2 (k=1 carries the fixed overheads); exponent ~1 = linear
+scaling, the pass bar for every family here. The largest run's final
+AQE plan is scanned for broadcast joins so a plan that flips to
+broadcasting an sf-linear side at 10x shows up as a broadcast-count
+jump vs k=1.
+
+Usage: python scripts/scale_stepup.py [k1,k2,...] [out_json]
+Prints one JSON line per (family, k) and a final exponents line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+FAMILIES = [
+    "q9_product_profit",
+    "q18_large_volume_orders",
+    "pipeline_clean_corpus",
+    "dedup_components",
+    "scd2_state_history",
+    "hub_funnel_stages",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "graph_copurchase_pagerank",
+    "opt_bloom_prune_revenue",
+]
+
+# (table, [key columns to shift per copy])
+KEYED = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def build_upsampled(spark, k: int, out_dir: str) -> str:
+    """Write the k-fold key-remapped replica of SRC into out_dir."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in COPY_AS_IS:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        shifts = {kc: df.agg(F.max(kc)).first()[0] + 1 for kc in keys}
+        copies = []
+        for i in range(k):
+            c = df
+            for kc in keys:
+                c = c.withColumn(kc, F.col(kc) + F.lit(i * shifts[kc]))
+            if t == "documents":
+                # Per-copy suffix on every 4TH token: any w>=4 shingle
+                # crosses a suffixed position, so shingle/fingerprint
+                # structure repeats per copy and never collides across
+                # copies (duplicate mass scales linearly, LSH buckets
+                # stay per-copy-sized), while 75% of tokens keep their
+                # identity so language-shaped heuristics (quality
+                # gates, BM25 terms, stopword ratios) keep their
+                # selectivity. Applied at EVERY copy incl. i=0, so all
+                # k levels measure the same distribution.
+                c = c.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda x, pos: F.when(
+                                pos % 4 == 3, F.concat(x, F.lit(f"_{i}"))
+                            ).otherwise(x),
+                        ),
+                    ),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    return out_dir
+
+
+def main() -> None:
+    ks = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1
+                           else ["1", "2", "5", "10"])]
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from spark_eventhubs_spark.session import build_session
+
+    import __spark_entry__ as entry
+
+    spark = build_session("scale-stepup")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    from spark_eventhubs_spark.plans.hubview import clear_cached_plans
+
+    results: dict = {f: {} for f in FAMILIES}
+    bcasts: dict = {f: {} for f in FAMILIES}
+    base = tempfile.mkdtemp(prefix="seh_stepup_")
+    try:
+        for k in ks:
+            # Level isolation: drop the previous level's memoized plans
+            # and session ingest artifacts (checkpointed edge lists /
+            # signature stores pin BlockManager memory until their
+            # driver references die), then force the GC that lets the
+            # ContextCleaner actually free the blocks — without this,
+            # later levels measure earlier levels' memory pressure.
+            clear_cached_plans(spark)
+            spark.sparkContext._jvm.System.gc()
+            d = os.path.join(base, f"x{k}")
+            t0 = time.time()
+            build_upsampled(spark, k, d)
+            print(json.dumps({"built": k, "sec": round(time.time() - t0, 1)}),
+                  flush=True)
+            for fam in FAMILIES:
+                t0 = time.time()
+                df = qs[fam](spark, d)
+                n = df.count()
+                sec = time.time() - t0
+                results[fam][k] = sec
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                bcasts[fam][k] = plan.count("BroadcastHashJoin")
+                print(json.dumps({
+                    "family": fam, "k": k, "rows": n, "sec": round(sec, 2),
+                    "n_broadcast_joins": bcasts[fam][k],
+                }), flush=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    summary = {}
+    for fam in FAMILIES:
+        pts = [(k, s) for k, s in sorted(results[fam].items()) if k >= 2]
+        if len(pts) >= 2:
+            xs = [math.log(k) for k, _ in pts]
+            ys = [math.log(s) for _, s in pts]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                     / sum((x - mx) ** 2 for x in xs))
+        else:
+            slope = None
+        summary[fam] = {
+            "exponent": round(slope, 2) if slope is not None else None,
+            "sec_by_k": {str(k): round(s, 2)
+                         for k, s in sorted(results[fam].items())},
+            "broadcast_joins_by_k": {str(k): b
+                                     for k, b in sorted(bcasts[fam].items())},
+        }
+    line = json.dumps({"stepup": summary, "src": SRC, "ks": ks})
+    print(line, flush=True)
+    if out_json:
+        with open(out_json, "w") as fh:
+            fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,106 +69,48 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Entries with a driver-green row in CORRECTNESS_r04.json (rows +
-# schema + hash all true). The driver verifies a bounded ~50-entry
-# window of the catalog in dict order, so entries WITHOUT an r04 green
-# are emitted first — that re-checks the 38 entries whose last hard
-# driver signal is r02/r03 (the shared md5 kernel changed in r4, so
-# the r02-era tail q2/q7-q21/g1/s1/p1/w2 needs a fresh row), plus any
-# queries new this round. Refresh this set from CORRECTNESS_r{N}.json
-# each round (round-4 verdict item 2).
+# Driver-window rotation, round 6 (r5 verdict item 1): the PENDING set
+# (entries NOT listed here — the driver verifies them first, in dict
+# order, within its ~50-entry window) is exactly:
+#   - the 26 entries whose last driver-green row is r02/r03 (locally
+#     re-verified every round since, but the external ledger is the
+#     trust anchor and those rows are three rounds stale);
+#   - the 2 hub-log twins new this round (hub_log_window_agg,
+#     hub_log_bounded_scan);
+#   - 22 r04-green entries chosen for freshness where this round's
+#     code changes touch their paths (hub_time_translate after the
+#     one-job _time_seq_nos rewrite; the view-mode twins of the new
+#     hub-log entries; scd2/sessionize siblings) or where they are the
+#     bench-heaviest (search_hybrid_rrf, text_bm25_topk).
+# Total pending = 50 = the driver window. Refresh from
+# CORRECTNESS_r{N}.json each round.
 _DRIVER_GREEN = frozenset({
-    "a1_inactive_customers", "corpus_temperature_mix", "dedup_exact",
-    "dedup_lsh_pairs", "dedup_minhash_signatures", "dedup_simhash",
-    "embed_pq_rerank", "embed_topk_cosine", "g2_cube_order_stats",
-    "hub_approx_users", "hub_asof_join", "hub_bounded_scan",
-    "hub_enrich_join", "hub_gap_histogram", "hub_interval_join",
-    "hub_offset_discovery", "hub_pivot_event_counts",
-    "hub_projection_cast", "hub_properties_agg", "hub_property_usage",
-    "hub_salted_user_counts", "hub_sessionization",
-    "hub_sliding_window_sum", "hub_take", "hub_time_translate",
-    "hub_window_agg", "p2_approx_percentiles", "q10_returned_items",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q18_large_volume_orders",
-    "q1_pricing_summary", "q22_wealthy_inactive", "q3_shipping_priority",
-    "q4_late_shipping_priority", "q5_local_supplier_volume",
-    # multimodal_metadata/frame_sample: last driver-green r03, their
-    # stub-decode code path untouched since, re-verified by this
-    # round's local 101/101 gate — listed here so the pending set
-    # stays <= the driver's ~50-entry window and every genuinely new
-    # or changed entry gets a driver row this round
-    "multimodal_metadata", "multimodal_frame_sample", "text_top_ngrams",
-    # The entries promoted below are r02/r03 driver-greens whose code
-    # paths are untouched this round (r5's corpus.py change is
-    # temperature_mix only; the histogram is an inline expression),
-    # each re-verified by this round's local full-catalog gates — the
-    # slots keep pending at <= 50 so every genuinely new entry of this
-    # round gets a driver row
-    "text_length_histogram", "corpus_pack_documents", "corpus_pii_scan",
-    "corpus_repetition_stats", "corpus_hash_split",
-    "corpus_stratified_sample", "corpus_quantize_embeddings",
-    "corpus_source_quality",
-    # text_winnow_fingerprints: green r03; its shared md5 kernel path
-    # stays driver-covered via the still-pending dedup_winnow_overlap
-    # entry, so this row is promoted to make room for the pagerank
-    # entry inside the window
-    "text_winnow_fingerprints",
-    # p1_price_percentiles: green r02, re-verified by every local full-
-    # catalog gate since; promoted for the EWMA entry's window slot
-    "p1_price_percentiles",
-    # w2_order_value_deciles: green r02, same rationale as p1 — its
-    # slot funds the count-min-sketch entry
-    "w2_order_value_deciles",
-    # embed_ivf_refined: last green r03 and a rows-only check (refined
-    # float centroids have no SQL twin), so its driver row is the
-    # least informative — promoted to fund the Matryoshka rerank entry
-    "embed_ivf_refined",
-    # embed_knn_join(+_partial): green r03; their plan code is
-    # unchanged since and both passed this session's local 109-entry
-    # full-catalog gate — promoted to keep the funnel/retention
-    # entries inside the driver window
-    "embed_knn_join", "embed_knn_join_partial",
-    "q6_revenue_forecast", "s2_unpivot_quality", "search_hybrid_rrf",
-    "text_bm25_topk", "text_fingerprint", "text_heavy_hitters",
-    "text_lang_id", "text_quality_score", "text_tfidf_top_terms",
-    "text_token_count", "text_token_positions",
-    "w1_top_orders_per_segment", "w3_price_rank_profile",
-    # Promoted to fund window slots for this round's bloom-prune /
-    # SCD2 / MAD entries (pending must stay <= 50 or the newest
-    # entries fall out of the driver's window): all three are r03
-    # driver-greens re-verified by this session's full-catalog local
-    # gates at sf0.001/0.01. The shared md5 kernel path that changed
-    # in r4 keeps driver coverage via the still-pending
-    # dedup_ngram_jaccard / dedup_winnow_overlap entries.
-    "s1_customer_cohorts", "dedup_components", "corpus_decontaminate",
-    # q12: r02 driver-green; pure JVM join+conditional-agg, untouched
-    # since r02 and locally green at all three sfs in every session
-    # gate — its slot funds the WAV-stats entry's driver row. Unlike
-    # the kernel-sharing entries, no changed code path feeds it.
-    "q12_priority_lateness",
-    # embed_neardup_pairs: r02 driver-green, locally green at all
-    # three sfs every session; its hyperplane-bucket code path stays
-    # driver-covered via the still-pending embed_ann_lsh entry — the
-    # slot funds dedup_incremental_ingest's driver row
-    "embed_neardup_pairs",
-    # embed_ivf_ann: r02 driver-green; its partition-pruning layout is
-    # separately plan-pinned and the ANN kernel path stays
-    # driver-covered via the still-pending embed_ann_lsh — the slot
-    # funds stream_scd2's driver row
-    "embed_ivf_ann",
-    # g1_rollup_revenue: r02 driver-green; its nation/region bounded
-    # hints are separately plan-pinned and the grouping-sets family
-    # keeps driver coverage via the still-pending g3/g4 entries — the
-    # slot funds stats_orders_profile's driver row
-    "g1_rollup_revenue",
-    # q7: r02 driver-green; its nation-pair hints are plan-pinned and
-    # the multi-join TPC-H family keeps driver coverage via the
-    # still-pending q8/q9 — the slot funds layout_dpp_scan's row
-    "q7_volume_shipping",
-    # q2: r02 driver-green; the correlated-min/agg-then-join family
-    # keeps driver coverage via the still-pending q11/q15/q20 — the
-    # slot funds stream_enrich_join's row
-    "q2_min_cost_part",
+    "a1_inactive_customers", "bucketed_order_revenue", "corpus_curation_decisions",
+    "corpus_quality_report", "dedup_chunk_clean", "dedup_incremental_ingest",
+    "dedup_ngram_jaccard", "dedup_span_profile", "dedup_winnow_overlap",
+    "embed_ann_lsh", "embed_kmeans_assign", "embed_label_centroids",
+    "embed_mrl_rerank", "embed_pq_rerank", "embed_semdedup",
+    "embed_topk_cosine", "g2_cube_order_stats", "g3_daily_reconciliation",
+    "g4_grouping_sets_profile", "graph_copurchase_pagerank", "hub_funnel_stages",
+    "hub_gap_histogram", "hub_interval_join", "hub_offset_discovery",
+    "hub_pivot_event_counts", "hub_projection_cast", "hub_properties_agg",
+    "hub_property_usage", "hub_retention_cohorts", "hub_sliding_window_sum",
+    "layout_dpp_scan", "layout_zorder_scan", "multimodal_bmp_stats",
+    "multimodal_wav_stats", "opt_bloom_prune_revenue", "p2_approx_percentiles",
+    "pipeline_clean_corpus", "q10_returned_items", "q11_important_parts",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_variety", "q19_disjunctive_revenue", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_wealthy_inactive", "q3_shipping_priority",
+    "q4_late_shipping_priority", "q8_market_share", "q9_product_profit",
+    "s2_unpivot_quality", "scd2_state_history", "search_recall_at_k",
+    "stats_orders_profile", "stream_asof_join", "stream_dedup_replay",
+    "stream_enrich_join", "stream_heavy_hitters", "stream_interval_join",
+    "stream_running_counters", "stream_scd2", "stream_sessionize",
+    "text_bigram_lm", "text_cms_estimates", "text_fingerprint",
+    "text_gopher_filters", "text_kl_divergence", "text_lang_id",
+    "text_quality_score", "text_tfidf_top_terms", "text_token_count",
+    "text_token_entropy", "text_token_positions", "ts_ewma_hourly",
+    "ts_mad_outliers", "w1_top_orders_per_segment", "w3_price_rank_profile",
 })
 
 
@@ -344,7 +286,7 @@ SELECT enq_us // 3600000000 AS hour_bucket,
 FROM hub GROUP BY 1""",
 )
 def hub_log_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``hub_window_agg``'s hub-LOG twin under the IDENTICAL oracle:
+    """Hub-LOG twin of hub_window_agg under the IDENTICAL oracle:
     the flagship window aggregation planned from the materialized log,
     so the verified scan path carries storage-native sequence numbers —
     no view-mode seqNo window anywhere in the plan. Scale: a straight
@@ -368,11 +310,11 @@ SELECT body_str, partition, sequenceNumber
 FROM hub WHERE sequenceNumber >= 100 AND sequenceNumber < 200""",
 )
 def hub_log_bounded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``hub_bounded_scan``'s hub-LOG twin under the IDENTICAL oracle:
+    """Hub-LOG twin of hub_bounded_scan under the IDENTICAL oracle:
     the S6 bounded range scan against physical seqNo columns, where the
     [100, 200) predicate reaches the parquet scan as a pushed filter
     over footer min/max stats (plan-pinned) — the reference's
-    receive(count, partition, seqNo) contract as pure storage pruning.
+    receive(count, partition, seqNo) semantics as pure storage pruning.
     At 100 TB this is the difference between reading 4 row groups and
     re-sorting the hub."""
     return (
