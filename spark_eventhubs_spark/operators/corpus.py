@@ -442,3 +442,182 @@ def oracle_temperature_mix(source_col: str = "source", target: int = 200) -> str
 SELECT r.doc_id, r.{source_col}, r.sel_rank
 FROM ranked r JOIN quota q ON r.{source_col} = q.s
 WHERE r.sel_rank <= q.n_s"""
+
+
+# ---------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+
+
+def _bigrams_col(toks):
+    """Token-bigram array via JVM slice/zip_with (shared shape with
+    text.bigram_lm_scores; empty for <2-token docs)."""
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    target=None,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights: score every document by how much more
+    likely its hashed-bigram features are under the TARGET domain's
+    bucket distribution than under the RAW corpus's — the
+    data-selection operator of Xie et al. 2023. ``target`` is any
+    boolean Column marking the target-domain documents; the default is
+    the Gopher quality gate (text.gopher_keep_col — a narrow per-row
+    expression), i.e. "select documents whose n-gram profile looks
+    like the quality subset", the quality-classifier-as-target
+    deployment of the paper.
+
+    Features are token bigrams hashed into ``n_buckets`` buckets (the
+    paper's hashed n-gram generative model). Both bucket models use
+    add-one smoothing, and each bucket's log-likelihood ratio is
+    quantized ONCE:
+
+        lam_e6(b) = floor(1e6 * ln( ((cp_b+1) * (cq_tot+B))
+                                  / ((cq_b+1) * (cp_tot+B)) ))
+
+    — a single ln of a ratio of exact integers, so Spark and DuckDB
+    produce the identical double and the identical floor (the
+    bigram-LM convention). A document's log-weight is the exact
+    integer sum of lam_e6 over its bigram OCCURRENCES (= sum over
+    buckets of count * lam), so the result is engine- and
+    partition-order-exact. ``keep`` marks the TOP 20% by
+    (logw_e6 DESC, doc_id) — the deterministic variant of the paper's
+    weighted resampling (Gumbel sampling would not be hash-checkable;
+    rank order is exactly what the paper resamples from).
+
+    Scale: bigram construction and bucket hashing are narrow JVM
+    expressions; the two bucket models are postings-shaped
+    aggregations whose outputs are <= n_buckets rows — a CONSTANT
+    (4096) independent of corpus size, so the lambda table is the one
+    provably size-safe broadcast in this operator (same policy as the
+    bloom positions). Scoring is then one broadcast join plus ONE
+    doc_id shuffle. The final top-20% rank is a global sort of the
+    |docs|-row WEIGHT table (not the corpus); at 100 TB replace it
+    with a broadcast cutoff from an approximate weight quantile — the
+    expensive part (feature extraction + scoring) is unchanged.
+    Overflow audit: the smoothing products stay exact in int64 while
+    total bigram occurrences < ~3e9 per side
+    ((cp+1)*(cq_tot+B) < 2^63); far beyond that, swap the products
+    for ln(cp+1)+ln(cq_tot+B)-... at the cost of 4 lns per bucket."""
+    if target is None:
+        from spark_eventhubs_spark.operators.text import gopher_keep_col
+
+        target = gopher_keep_col(F.col(text_col))
+    toks = tokens_col(F.col(text_col))
+    occ = df.select(
+        "doc_id",
+        target.alias("is_target"),
+        F.explode(_bigrams_col(toks)).alias("bigram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.pmod(
+            md5_hash64(F.concat(F.lit("dsir|"), F.col("bigram"))),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    counts = occ.groupBy("b").agg(
+        F.count("*").alias("cq"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cp"),
+    )
+    tot = counts.agg(
+        F.sum("cq").alias("cq_tot"), F.sum("cp").alias("cp_tot")
+    )
+    lam = counts.join(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                ((F.col("cp") + 1) * (F.col("cq_tot") + n_buckets)).cast("double")
+                / ((F.col("cq") + 1) * (F.col("cp_tot") + n_buckets)).cast("double")
+            )
+        ).cast("long").alias("lam_e6"),
+    )
+    scored = (
+        occ.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lam_e6").alias("logw_e6"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("logw_e6"), F.asc("doc_id"))
+    w_all = Window.partitionBy()
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "logw_e6",
+        (F.row_number().over(w_rank) * 5 <= F.count(F.lit(1)).over(w_all))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def oracle_dsir_weights(n_buckets: int = DSIR_BUCKETS) -> str:
+    from spark_eventhubs_spark.operators.text import (
+        GOPHER_MAX_DUP_BP,
+        GOPHER_MAX_MWL_BP,
+        GOPHER_MAX_TOP_BP,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL_BP,
+        GOPHER_MIN_WORDS,
+        _oracle_tokens,
+    )
+
+    h = oracle_md5_hash64("('dsir|' || bigram)")
+    return f"""WITH base AS (
+  SELECT doc_id, {_oracle_tokens('text')} AS toks FROM documents
+), tw AS (SELECT doc_id, unnest(toks) AS w FROM base),
+mc AS (
+  SELECT doc_id, MAX(c) AS mc
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM tw GROUP BY 1, 2) GROUP BY 1
+), tgt AS (
+  SELECT b.doc_id,
+    (CAST(len(b.toks) AS BIGINT) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+     AND CAST(FLOOR(10000 * list_sum(list_transform(b.toks, x -> length(x))) / len(b.toks)) AS BIGINT)
+         BETWEEN {GOPHER_MIN_MWL_BP} AND {GOPHER_MAX_MWL_BP}
+     AND CAST(FLOOR(10000 * (len(b.toks) - len(list_distinct(b.toks))) / len(b.toks)) AS BIGINT) <= {GOPHER_MAX_DUP_BP}
+     AND CAST(FLOOR(10000 * mc.mc / len(b.toks)) AS BIGINT) <= {GOPHER_MAX_TOP_BP}
+    ) AS is_target
+  FROM base b JOIN mc USING (doc_id)
+), bg AS (
+  SELECT base.doc_id, tgt.is_target,
+    unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM base JOIN tgt USING (doc_id) WHERE len(toks) >= 2
+), occ AS (
+  SELECT doc_id, is_target, {h} % {n_buckets} AS b FROM bg
+), counts AS (
+  SELECT b, COUNT(*) AS cq,
+    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS cp
+  FROM occ GROUP BY 1
+), tot AS (
+  SELECT SUM(cq) AS cq_tot, SUM(cp) AS cp_tot FROM counts
+), lam AS (
+  SELECT b,
+    CAST(FLOOR(1000000.0 * ln(
+      CAST((cp + 1) * (cq_tot + {n_buckets}) AS DOUBLE)
+      / CAST((cq + 1) * (cp_tot + {n_buckets}) AS DOUBLE))) AS BIGINT) AS lam_e6
+  FROM counts, tot
+)
+, scored AS (
+  SELECT occ.doc_id, COUNT(*) AS n_grams,
+    CAST(SUM(lam.lam_e6) AS BIGINT) AS logw_e6
+  FROM occ JOIN lam USING (b) GROUP BY 1
+)
+SELECT doc_id, n_grams, logw_e6,
+  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY logw_e6 DESC, doc_id ASC) * 5
+            <= COUNT(*) OVER () THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored"""

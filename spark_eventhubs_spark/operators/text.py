@@ -737,6 +737,51 @@ GOPHER_MAX_DUP_BP = 6_000   # <= 60% duplicate word occurrences
 GOPHER_MAX_TOP_BP = 1_200   # top word <= 12% of the document
 
 
+def gopher_keep_col(text: Column) -> Column:
+    """The Gopher gate's keep decision as ONE narrow boolean column —
+    shared by :func:`gopher_filters` (which also reports the metrics)
+    and by consumers that only need the flag as a predicate (e.g.
+    corpus.dsir_weights' quality target), so the gate logic exists
+    once. Zero shuffle: everything is per-row array folds."""
+    toks = tokens_col(text)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _merge(acc, w):
+        run = (
+            F.when(w == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_count = F.aggregate(
+        F.sort_array(toks), zero, _merge, lambda acc: acc["best"]
+    )
+    mwl_bp = F.floor(F.lit(10000) * sum_len / n_words).cast("long")
+    dup_bp = F.floor(F.lit(10000) * (n_words - n_distinct) / n_words).cast("long")
+    top_bp = F.floor(F.lit(10000) * max_count / n_words).cast("long")
+    return (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl_bp.between(GOPHER_MIN_MWL_BP, GOPHER_MAX_MWL_BP)
+        & (dup_bp <= GOPHER_MAX_DUP_BP)
+        & (top_bp <= GOPHER_MAX_TOP_BP)
+    )
+
+
 def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/MassiveText-style per-document quality signals + keep
     flag, entirely in JVM expressions (narrow, zero shuffle):
@@ -749,7 +794,8 @@ def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
       (which would shuffle corpus_tokens rows at scale).
 
     All ratios are integer basis points with a pinned op order
-    (floor(10000 * a / b)) so both engines floor the same double."""
+    (floor(10000 * a / b)) so both engines floor the same double.
+    The keep decision itself is :func:`gopher_keep_col`."""
     toks = tokens_col(F.col(text_col))
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -781,19 +827,13 @@ def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
     mwl_bp = F.floor(F.lit(10000) * sum_len / n_words).cast("long")
     dup_bp = F.floor(F.lit(10000) * (n_words - n_distinct) / n_words).cast("long")
     top_bp = F.floor(F.lit(10000) * max_count / n_words).cast("long")
-    keep = (
-        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mwl_bp.between(GOPHER_MIN_MWL_BP, GOPHER_MAX_MWL_BP)
-        & (dup_bp <= GOPHER_MAX_DUP_BP)
-        & (top_bp <= GOPHER_MAX_TOP_BP)
-    )
     return df.select(
         F.col("doc_id"),
         n_words.alias("n_words"),
         mwl_bp.alias("mean_word_len_bp"),
         dup_bp.alias("dup_word_bp"),
         top_bp.alias("top_word_bp"),
-        keep.cast("int").alias("keep"),
+        gopher_keep_col(F.col(text_col)).cast("int").alias("keep"),
     )
 
 

@@ -2202,6 +2202,21 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.temperature_mix(_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_dsir_weights", C.oracle_dsir_weights())
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight of hashed-bigram features under the target domain (lang =
+    'en' stands in for the paper's quality sample) vs the raw corpus,
+    with add-one smoothing; keep = more target-like than raw. Weights
+    are exact integer sums of once-quantized per-bucket
+    log-likelihood ratios, so the whole selection is engine- and
+    order-exact. Scale: the bucket models aggregate to a CONSTANT
+    4096 rows (the one provably size-safe broadcast here); scoring is
+    one broadcast join + one doc_id shuffle
+    (operators/corpus.py:dsir_weights)."""
+    return C.dsir_weights(_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_hash_split", C.oracle_hash_split())
 def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash split (80/10/10 in basis

@@ -498,3 +498,58 @@ def test_cms_one_sided_error_and_bound(spark):
         assert r["overcount"] >= 0
         assert r["est_c"] >= r["true_c"]
         assert r["overcount"] <= bound
+
+
+def test_dsir_weights_partition_invariant_and_top20(spark, docs):
+    """DSIR weights are exact integer sums of once-quantized bucket
+    scores, so assignments are identical under any input partitioning;
+    keep marks exactly floor(n/5) docs, the highest-weighted ones."""
+    from spark_eventhubs_spark.operators.corpus import dsir_weights
+
+    a = sorted(
+        (r["doc_id"], r["n_grams"], r["logw_e6"], r["keep"])
+        for r in dsir_weights(docs.repartition(7)).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_grams"], r["logw_e6"], r["keep"])
+        for r in dsir_weights(docs.repartition(3)).collect()
+    )
+    assert a == b and len(a) == docs.count()
+    kept = [t for t in a if t[3] == 1]
+    assert len(kept) == len(a) // 5
+    # kept docs are exactly the top-m by (logw desc, doc_id asc)
+    order = sorted(a, key=lambda t: (-t[2], t[0]))
+    assert sorted(t[0] for t in order[: len(a) // 5]) == sorted(
+        t[0] for t in kept
+    )
+
+
+def test_dsir_responds_to_distribution_shift(spark):
+    """On a corpus with a REAL vocabulary split, DSIR must rank
+    target-vocabulary docs above raw-typical ones (the testdata corpus
+    is distributionally homogeneous, so this property needs a crafted
+    input): docs written in the target dialect score higher than
+    background docs under a target = dialect-A gate."""
+    from pyspark.sql import functions as F
+
+    from spark_eventhubs_spark.operators.corpus import dsir_weights
+
+    rows = []
+    for i in range(40):  # target dialect: vocabulary A
+        rows.append((i, " ".join(f"alpha{j % 7} beta{(j + i) % 5}"
+                                 for j in range(30)), 1))
+    for i in range(40, 120):  # background: vocabulary B
+        rows.append((i, " ".join(f"gamma{j % 9} delta{(j + i) % 4}"
+                                 for j in range(30)), 0))
+    for i in range(120, 140):  # held-out docs in dialect A, target=0
+        rows.append((i, " ".join(f"alpha{j % 7} beta{(j + i) % 5}"
+                                 for j in range(30)), 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_a int")
+    out = {
+        r["doc_id"]: r["logw_e6"]
+        for r in dsir_weights(df, target=F.col("is_a") == 1).collect()
+    }
+    held_out = [out[i] for i in range(120, 140)]
+    background = [out[i] for i in range(40, 120)]
+    # every held-out dialect-A doc outscores every background doc
+    assert min(held_out) > max(background)

@@ -284,6 +284,10 @@ def test_bounded_broadcast_hints_only_where_provable(spark):
     assert _hint_count(spark, "q20_excess_shippers") == 1        # 1-row threshold
     assert _hint_count(spark, "q22_wealthy_inactive") == 1       # 1-row AVG scalar
     assert _hint_count(spark, "q11_important_parts") == 1        # 1-row total
+    # DSIR: the 1-row totals frame + the <=4096-row bucket-lambda
+    # table (a CONSTANT independent of corpus size, same policy as
+    # the bloom position set)
+    assert _hint_count(spark, "corpus_dsir_weights") == 2
 
 
 def test_q17_single_scan_window_topology(spark):
