@@ -128,8 +128,14 @@ def main() -> None:
 
     from spark_eventhubs_spark.plans.hubview import clear_cached_plans
 
-    results: dict = {f: {} for f in FAMILIES}
-    bcasts: dict = {f: {} for f in FAMILIES}
+    # PageRank measured twice more, split at the artifact boundary
+    # (r6 verdict item 4): ingest = materialize the (src, dst, deg)
+    # edge table bucketed by src; iterate = pagerank over that table
+    # (steady-state, the shape a deployment with an ingest-time edge
+    # artifact runs every time).
+    SPLIT = ["graph_pagerank_ingest", "graph_pagerank_iterate"]
+    results: dict = {f: {} for f in FAMILIES + SPLIT}
+    bcasts: dict = {f: {} for f in FAMILIES + SPLIT}
     base = tempfile.mkdtemp(prefix="seh_stepup_")
     try:
         for k in ks:
@@ -158,11 +164,35 @@ def main() -> None:
                     "family": fam, "k": k, "rows": n, "sec": round(sec, 2),
                     "n_broadcast_joins": bcasts[fam][k],
                 }), flush=True)
+            from spark_eventhubs_spark.bucketing import (
+                ensure_copurchase_edges,
+            )
+            from spark_eventhubs_spark.operators import graph as G
+
+            t0 = time.time()
+            tbl = ensure_copurchase_edges(spark, d)
+            n_edges = spark.table(tbl).count()
+            results["graph_pagerank_ingest"][k] = time.time() - t0
+            bcasts["graph_pagerank_ingest"][k] = 0
+            t0 = time.time()
+            df = G.pagerank(edges=spark.table(tbl))
+            n = df.count()
+            results["graph_pagerank_iterate"][k] = time.time() - t0
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            bcasts["graph_pagerank_iterate"][k] = plan.count(
+                "BroadcastHashJoin"
+            )
+            print(json.dumps({
+                "family": "graph_pagerank_split", "k": k,
+                "edges": n_edges, "rows": n,
+                "ingest_sec": round(results["graph_pagerank_ingest"][k], 2),
+                "iterate_sec": round(results["graph_pagerank_iterate"][k], 2),
+            }), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
     summary = {}
-    for fam in FAMILIES:
+    for fam in FAMILIES + SPLIT:
         pts = [(k, s) for k, s in sorted(results[fam].items()) if k >= 2]
         if len(pts) >= 2:
             xs = [math.log(k) for k, _ in pts]

@@ -94,6 +94,45 @@ def materialize_bucketed(
     return out
 
 
+def ensure_copurchase_edges(
+    spark: SparkSession, sf_dir: str, n_buckets: int = DEFAULT_BUCKETS
+) -> str:
+    """Idempotent per-(session, sf_dir): materialize the co-purchase
+    PageRank edge artifact ``(src, dst, deg)`` bucketed + sorted by
+    ``src`` as an external table; returns the table name. This is the
+    100 TB layout the graph module's docstring promises: with the edge
+    side bucketed on the iteration join key, every PageRank iteration
+    plans with NO Exchange on the |edges|-row side — only the
+    |nodes|-row ranks frame shuffles (pinned in
+    tests/test_graph.py). ``scripts/scale_stepup.py`` times this
+    ingest separately from the steady-state iterations."""
+    import hashlib
+
+    from spark_eventhubs_spark.operators.graph import (
+        copurchase_edge_artifact,
+    )
+
+    abspath = os.path.abspath(os.path.normpath(sf_dir))
+    fp = hashlib.md5(abspath.encode()).hexdigest()[:8]
+    base = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(abspath))
+    tbl = f"bkt_{base}_{fp}_b{n_buckets}_copurchase_edges"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    location = tempfile.mkdtemp(prefix=f"seh_bucketed_{tbl}_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        copurchase_edge_artifact(li)
+        .write.format("parquet")
+        .option("path", f"{location}/{tbl}")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    return tbl
+
+
 def bucketed_join(spark: SparkSession, tables: dict) -> DataFrame:
     """The Q3-shaped fact-fact join over the bucketed layout: revenue
     per order. With matching bucket counts this plans with zero

@@ -22,11 +22,16 @@ Integer flooring biases each rank down by at most deg ulps per
 iteration vs real-valued PageRank — irrelevant for ranking, decisive
 for cross-engine hash equality.
 
-Scale: the edge list shuffles once on orderkey to build and once on
-the node key per iteration (co-partitioned joins — the same edges
-frame reused); degrees are |nodes| rows; no stage ever exceeds
-|edges| rows. At 100 TB the edges frame is the ingest artifact to
-bucket by src so every iteration's join is co-located.
+Scale: the ``(src, dst, deg)`` artifact shuffles once on orderkey to
+build (degree is joined in AT INGEST, so iterations carry no degree
+join); each iteration is one join of the artifact with the |nodes|-row
+ranks frame on ``src`` plus one integer-sum gather on ``dst`` — no
+stage ever exceeds |edges| rows. At 100 TB the artifact is
+materialized bucketed by ``src``
+(``bucketing.ensure_copurchase_edges``), which removes the edge-side
+Exchange from every iteration: only the small ranks frame shuffles.
+``scripts/scale_stepup.py`` measures ingest and steady-state
+separately.
 """
 
 from __future__ import annotations
@@ -55,27 +60,59 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def copurchase_edge_artifact(lineitem: DataFrame) -> DataFrame:
+    """The iteration-invariant edge frame ``(src, dst, deg)`` — deg is
+    the out-degree of src, joined in ONCE here so no per-iteration
+    degree join exists at all. This is THE ingest artifact of the
+    family: a pure function of the corpus that a 100 TB deployment
+    materializes bucketed by ``src`` at ingest
+    (:func:`spark_eventhubs_spark.bucketing.ensure_copurchase_edges`),
+    leaving each iteration exactly one co-located join + one gather
+    aggregation."""
+    edges = copurchase_edges(lineitem)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return edges.join(deg, "src").select("src", "dst", "deg")
+
+
 def pagerank(
-    lineitem: DataFrame,
+    lineitem: DataFrame | None = None,
     iters: int = PR_ITERS,
     top: int = PR_TOP,
     scale: int = PR_SCALE,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over the co-purchase graph; returns the
-    ``top`` parts by final rank (ties to the smaller partkey)."""
+    ``top`` parts by final rank (ties to the smaller partkey).
+
+    ``edges``: a pre-materialized ``(src, dst, deg)`` artifact (see
+    :func:`copurchase_edge_artifact`); when given, ``lineitem`` is
+    unused and the call measures STEADY-STATE iteration cost only —
+    the shape a deployment with an ingest-time edge table runs. When
+    absent, the artifact is built from ``lineitem`` and
+    checkpoint-cached per session."""
     from spark_eventhubs_spark.operators.dedup import _checkpoint_cached
 
-    # The edge list is an ingest artifact (a pure function of the
-    # corpus): without materialization the lazy plan re-runs the
-    # orderkey self-join + distinct once for deg and once PER
-    # ITERATION (~5x the work). Cached per session like the MinHash
-    # signature store; a 100 TB deployment materializes and buckets
-    # this frame at ingest.
-    edges = _checkpoint_cached(
-        copurchase_edges(lineitem), lineitem, "graph_edges", ()
+    if edges is None:
+        if lineitem is None:
+            raise ValueError("pagerank needs lineitem or edges")
+        # The edge list is an ingest artifact (a pure function of the
+        # corpus): without materialization the lazy plan re-runs the
+        # orderkey self-join + distinct once for nodes and once PER
+        # ITERATION (~5x the work). Cached per session like the
+        # MinHash signature store; a 100 TB deployment materializes
+        # and buckets this frame at ingest (bucketing module).
+        edges = _checkpoint_cached(
+            copurchase_edge_artifact(lineitem), lineitem,
+            "graph_edges_deg", ()
+        )
+    # |parts|-row frame, materialized once: it seeds r0 and anchors the
+    # per-iteration left join (dangling-node teleport), so re-deriving
+    # it from edges every iteration would add a distinct per round.
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"), "deg")
     n_nodes = nodes.count()  # bounded driver scalar (|parts|)
     r0 = scale // n_nodes
     base = (15 * scale) // (100 * n_nodes)
@@ -88,7 +125,6 @@ def pagerank(
                 ),
                 "src",
             )
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(85 * r_src) div (100 * deg)").alias("c"),

@@ -11,7 +11,10 @@ Decode support is split by dependency honesty:
   container ships it: `decode_image` dispatches their magic bytes to
   the guarded `_decode_pil` path, so `image_stats` serves real
   JPEG/PNG stats in PIL-equipped deployments and raises an explicit
-  NotImplementedError here (video via av/ffmpeg stays unwired); the
+  NotImplementedError here; video (MP4/MKV/WebM/AVI) has the same
+  guard through PyAV: `decode_video`/`video_stats` dispatch by magic
+  bytes to `_decode_video_av` when ``av`` is importable and refuse
+  loudly here; the
   metadata-only operators use a clearly-marked deterministic stub
   (`_fake_decode`) that derives pseudo-metadata purely from byte
   content, keeping tests and oracles stable;
@@ -450,7 +453,13 @@ def _decode_pil(payload: bytes):
     return np.ascontiguousarray(arr)
 
 
-_CODEC_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF")
+_CODEC_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"GIF8")
+
+
+def _is_webp(payload: bytes) -> bool:
+    """WebP is RIFF-contained — but so are WAV and AVI, which must NOT
+    claim the PIL image path. Only RIFF....WEBP is an image here."""
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
 
 
 def decode_image(payload: bytes):
@@ -462,14 +471,143 @@ def decode_image(payload: bytes):
     point so :func:`image_stats` handles mixed-format media columns."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    if any(payload[: len(m)] == m for m in _CODEC_MAGICS):
+    if any(payload[: len(m)] == m for m in _CODEC_MAGICS) or _is_webp(payload):
         if REAL_DECODERS_AVAILABLE:
             return _decode_pil(payload)
         raise NotImplementedError(
             "PNG/JPEG/GIF/WebP decode needs PIL, which this container "
             "does not ship; BMP and netpbm decode without it"
         )
+    if payload[:4] == b"RIFF":
+        # RIFF but not WEBP: an audio/video container (WAV/AVI), not
+        # an image — diagnose it instead of a misleading netpbm error.
+        raise ValueError(
+            f"RIFF container {payload[8:12]!r} is not an image; "
+            "WAV audio decodes via decode_wav"
+        )
     return decode_netpbm(payload)
+
+
+# ---------------------------------------------------------------------
+# Video: guarded PyAV path (r7 verdict item 8). Mirrors the PIL image
+# guard — magic-byte dispatch, real decode when the container ships
+# `av`, loud refusal here, never a silent fake.
+# ---------------------------------------------------------------------
+
+VIDEO_DECODERS_AVAILABLE = False  # flipped when PyAV is importable
+try:  # pragma: no cover - not present in this container
+    import av  # noqa: F401
+
+    VIDEO_DECODERS_AVAILABLE = True
+except Exception:
+    pass
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_e3", LongType()),
+        StructField("mean_luma_e2", LongType()),
+    ]
+)
+
+
+def is_video_container(payload: bytes) -> bool:
+    """Magic-byte sniff for the codec video containers: MP4/MOV
+    (``ftyp`` at byte 4), Matroska/WebM (EBML header), AVI
+    (``RIFF....AVI ``). WAV is RIFF too but audio — it never lands
+    here (see :func:`_is_webp` for the same RIFF disambiguation on
+    the image side)."""
+    return (
+        payload[4:8] == b"ftyp"
+        or payload[:4] == b"\x1a\x45\xdf\xa3"
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
+    )
+
+
+def _decode_video_av(payload: bytes) -> dict:
+    """PyAV-backed video stats — the guarded twin of ``_decode_pil``.
+    Only reachable when ``VIDEO_DECODERS_AVAILABLE``; decodes every
+    frame of the first video stream and reports frame count, duration,
+    dimensions, average rate, and mean luma over all frames' gray
+    planes (integer mean*100 // count, matching the image_stats
+    contract)."""
+    import io as _io
+
+    import av as _av
+    import numpy as _np
+
+    with _av.open(_io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        n_frames = 0
+        luma_sum = 0
+        luma_px = 0
+        width = height = 0
+        for frame in container.decode(stream):
+            n_frames += 1
+            width, height = frame.width, frame.height
+            gray = frame.to_ndarray(format="gray").astype(_np.int64)
+            luma_sum += int(gray.sum())
+            luma_px += int(gray.size)
+        dur_ms = (
+            int(container.duration * 1000 // 1_000_000)
+            if container.duration is not None
+            else 0
+        )
+        rate = stream.average_rate
+        fps_e3 = int(rate * 1000) if rate is not None else 0
+    return {
+        "n_frames": n_frames,
+        "duration_ms": dur_ms,
+        "width": width,
+        "height": height,
+        "fps_e3": fps_e3,
+        "mean_luma_e2": (luma_sum * 100 // luma_px) if luma_px else 0,
+    }
+
+
+def decode_video(payload: bytes) -> dict:
+    """Magic-byte dispatch for video: MP4/MOV, Matroska/WebM, and AVI
+    decode through PyAV WHEN the container ships it and raise an
+    explicit NotImplementedError otherwise — exactly the
+    :func:`decode_image` guard pattern. Anything without a video
+    magic is rejected as not-a-video (a WAV or image payload reaching
+    here is a caller bug worth a precise diagnosis)."""
+    if not is_video_container(payload):
+        raise ValueError(
+            "payload has no MP4/MOV, Matroska/WebM, or AVI magic — "
+            "not a video container (images: decode_image; WAV audio: "
+            "decode_wav)"
+        )
+    if VIDEO_DECODERS_AVAILABLE:
+        return _decode_video_av(payload)
+    raise NotImplementedError(
+        "MP4/MKV/WebM/AVI decode needs PyAV (av), which this container "
+        "does not ship; the frame-sampling plumbing (sample_frames) "
+        "runs on opaque bytes without it"
+    )
+
+
+def video_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Video statistics over mapInPandas — same Arrow-batched,
+    partition-preserving shape as :func:`image_stats`. Decodes each
+    payload via :func:`decode_video`; in containers without PyAV the
+    first row raises the loud NotImplementedError (pinned in tests)
+    rather than fabricating stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf[media_col]):
+                meta = decode_video(bytes(blob))
+                rows.append((int(did),) + tuple(meta[c] for c in cols[1:]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_stats, VIDEO_STATS_SCHEMA)
 
 
 def as_bmp_column(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -737,12 +737,29 @@ GOPHER_MAX_DUP_BP = 6_000   # <= 60% duplicate word occurrences
 GOPHER_MAX_TOP_BP = 1_200   # top word <= 12% of the document
 
 
+def gopher_keep_from_metrics(
+    n_words: Column, mwl_bp: Column, dup_bp: Column, top_bp: Column
+) -> Column:
+    """The Gopher gate's threshold predicate over ALREADY-COMPUTED
+    metric columns — the single place the four rules live.
+    :func:`gopher_filters` feeds it its reported metric columns (so
+    the tokenize + array-fold tree is evaluated once per row, not
+    twice) and :func:`gopher_keep_col` feeds it freshly-derived
+    metrics for consumers that only have the text column."""
+    return (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl_bp.between(GOPHER_MIN_MWL_BP, GOPHER_MAX_MWL_BP)
+        & (dup_bp <= GOPHER_MAX_DUP_BP)
+        & (top_bp <= GOPHER_MAX_TOP_BP)
+    )
+
+
 def gopher_keep_col(text: Column) -> Column:
     """The Gopher gate's keep decision as ONE narrow boolean column —
-    shared by :func:`gopher_filters` (which also reports the metrics)
-    and by consumers that only need the flag as a predicate (e.g.
-    corpus.dsir_weights' quality target), so the gate logic exists
-    once. Zero shuffle: everything is per-row array folds."""
+    for consumers that only need the flag as a predicate (e.g.
+    corpus.dsir_weights' quality target). Thresholds live in
+    :func:`gopher_keep_from_metrics`; metric derivation matches
+    :func:`gopher_filters`. Zero shuffle: per-row array folds."""
     toks = tokens_col(text)
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -774,12 +791,7 @@ def gopher_keep_col(text: Column) -> Column:
     mwl_bp = F.floor(F.lit(10000) * sum_len / n_words).cast("long")
     dup_bp = F.floor(F.lit(10000) * (n_words - n_distinct) / n_words).cast("long")
     top_bp = F.floor(F.lit(10000) * max_count / n_words).cast("long")
-    return (
-        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mwl_bp.between(GOPHER_MIN_MWL_BP, GOPHER_MAX_MWL_BP)
-        & (dup_bp <= GOPHER_MAX_DUP_BP)
-        & (top_bp <= GOPHER_MAX_TOP_BP)
-    )
+    return gopher_keep_from_metrics(n_words, mwl_bp, dup_bp, top_bp)
 
 
 def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -795,7 +807,10 @@ def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All ratios are integer basis points with a pinned op order
     (floor(10000 * a / b)) so both engines floor the same double.
-    The keep decision itself is :func:`gopher_keep_col`."""
+    The keep decision applies :func:`gopher_keep_from_metrics` to the
+    metric columns computed HERE (a second projection over the named
+    columns), so the tokenize + sort_array + fold tree is evaluated
+    once per row — not re-derived inside the keep flag."""
     toks = tokens_col(F.col(text_col))
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -833,7 +848,14 @@ def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
         mwl_bp.alias("mean_word_len_bp"),
         dup_bp.alias("dup_word_bp"),
         top_bp.alias("top_word_bp"),
-        gopher_keep_col(F.col(text_col)).cast("int").alias("keep"),
+    ).withColumn(
+        "keep",
+        gopher_keep_from_metrics(
+            F.col("n_words"),
+            F.col("mean_word_len_bp"),
+            F.col("dup_word_bp"),
+            F.col("top_word_bp"),
+        ).cast("int"),
     )
 
 

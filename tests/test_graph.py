@@ -83,3 +83,53 @@ def test_pagerank_tiny_graph_hand_computed(spark):
         r = nxt
     assert got == r
     assert got[2] > got[1] == got[3]  # the middle node is the hub
+
+
+def test_pagerank_from_bucketed_artifact_matches_and_skips_edge_shuffle(spark):
+    """The ingest/steady-state split (r7): pagerank over the bucketed
+    (src, dst, deg) artifact must (a) equal the from-lineitem result
+    bit-for-bit, and (b) plan each iteration's join with NO shuffle on
+    the bucketed edge side — only the small ranks frame exchanges.
+    With 8 buckets on src, the edge scan side of a SortMergeJoin reads
+    bucketed output partitioning directly; an Exchange feeding the
+    FileScan of the edge table would defeat the 100 TB layout."""
+    from spark_eventhubs_spark.bucketing import ensure_copurchase_edges
+
+    tbl = ensure_copurchase_edges(spark, SF_DIR)
+    edges = spark.table(tbl)
+    from_artifact = G.pagerank(edges=edges)
+    from_lineitem = G.pagerank(_lineitem(spark))
+    assert sorted(map(tuple, from_artifact.collect())) == sorted(
+        map(tuple, from_lineitem.collect())
+    )
+    # One iteration's contrib join, planned in isolation (the full
+    # pagerank loop checkpoints between rounds, so inspect one round).
+    # Broadcast is disabled to force the AT-SCALE shape: on a cluster
+    # the ranks frame (|parts| rows) stops fitting the broadcast
+    # threshold and the join is sort-merge on src — exactly where the
+    # bucketed layout must shed the edge-side Exchange.
+    from pyspark.sql import functions as F
+
+    ranks = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .select("node", F.lit(1).cast("long").alias("rank"))
+    )
+    joined = edges.join(
+        ranks.withColumnRenamed("node", "src").withColumnRenamed(
+            "rank", "r_src"
+        ),
+        "src",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the bucketed edge scan is read AS buckets (its partitioning
+    # satisfies the join), and the ONLY shuffle is the ranks side
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

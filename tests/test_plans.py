@@ -548,3 +548,23 @@ def test_hub_log_entries_have_no_window_shim(spark):
     # exactly what materialization removes
     view = _explain(Q.queries()["hub_bounded_scan"](spark, SF_DIR))
     assert "Window" in view
+
+
+def test_gopher_filters_computes_metric_tree_once(spark):
+    """r6 ADVICE item 4: gopher_filters' keep flag must derive from the
+    already-computed metric columns, not re-materialize the tokenize +
+    sort_array + run-length-fold tree a second time. The optimized plan
+    carries exactly ONE sort_array (the top-word fold) and one
+    array_distinct — pre-fix both appeared twice, doubling per-row CPU
+    of the advertised narrow zero-shuffle operator."""
+    from tests.conftest import SF_DIR
+
+    from spark_eventhubs_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        T.gopher_filters(docs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("sort_array") == 1, plan
+    assert plan.count("array_distinct") == 1, plan
