@@ -153,6 +153,16 @@ def main() -> None:
             print(json.dumps({"built": k, "sec": round(time.time() - t0, 1)}),
                   flush=True)
             for fam in FAMILIES:
+                # Per-family GC (r7): families run sequentially within a
+                # level, so by the late families the session holds the
+                # early ones' checkpointed artifacts and uncollected
+                # shuffle registrations — at 30x that pressure showed up
+                # as a phantom superlinear tail on search_hybrid_rrf
+                # (7.67 s in the r6 sweep vs 3.12 s isolated, same data,
+                # same code; scripts/rrf_leg_probe.py is the evidence).
+                # A GC point before each family keeps the measurement
+                # about the family, not its predecessors' garbage.
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.time()
                 df = qs[fam](spark, d)
                 n = df.count()

@@ -498,12 +498,16 @@ def dsir_weights(
     rank order is exactly what the paper resamples from).
 
     Scale: bigram construction and bucket hashing are narrow JVM
-    expressions; the two bucket models are postings-shaped
-    aggregations whose outputs are <= n_buckets rows — a CONSTANT
-    (4096) independent of corpus size, so the lambda table is the one
-    provably size-safe broadcast in this operator (same policy as the
-    bloom positions). Scoring is then one broadcast join plus ONE
-    doc_id shuffle. The final top-20% rank is a global sort of the
+    expressions evaluated ONCE — the bucket models and the
+    per-document scoring both read one shared (doc_id, bucket)
+    count aggregation, whose Exchange Spark's ReuseExchange plans a
+    single time (without the shared frame the full tokenize + md5
+    scan executed twice per run). The bucket-model outputs are
+    <= n_buckets rows — a CONSTANT (4096) independent of corpus
+    size, so the lambda table is the one provably size-safe
+    broadcast in this operator (same policy as the bloom positions).
+    Scoring is then one broadcast join plus ONE doc_id shuffle over
+    the compacted counts. The final top-20% rank is a global sort of the
     |docs|-row WEIGHT table (not the corpus); at 100 TB replace it
     with a broadcast cutoff from an approximate weight quantile — the
     expensive part (feature extraction + scoring) is unchanged.
@@ -516,10 +520,21 @@ def dsir_weights(
 
         target = gopher_keep_col(F.col(text_col))
     toks = tokens_col(F.col(text_col))
-    occ = df.select(
+    # The target flag is projected BELOW the bigram explode: with
+    # `select(target, explode(...))` in one projection, Spark plans the
+    # generator first and the other expressions in a Project ON TOP of
+    # the Generate — so the target's array-fold tree would be evaluated
+    # once per bigram OCCURRENCE (~50x per doc), which measured as
+    # ~10 of this entry's 12 s at sf0.1. Projecting (doc_id, is_target,
+    # bigram_array) first puts the fold on the Generate's CHILD: once
+    # per document, carried through the explode as a plain column.
+    base = df.select(
         "doc_id",
         target.alias("is_target"),
-        F.explode(_bigrams_col(toks)).alias("bigram"),
+        _bigrams_col(toks).alias("bgs"),
+    )
+    occ = base.select(
+        "doc_id", "is_target", F.explode("bgs").alias("bigram")
     ).select(
         "doc_id",
         "is_target",
@@ -528,9 +543,20 @@ def dsir_weights(
             F.lit(n_buckets),
         ).alias("b"),
     )
-    counts = occ.groupBy("b").agg(
-        F.count("*").alias("cq"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cp"),
+    # ONE pass over the expensive feature extraction: both the bucket
+    # models and the per-document scoring consume the SAME
+    # (doc_id, is_target, b) -> n aggregation, so its Exchange is
+    # planned once and shared by ReuseExchange (the
+    # corpus_quality_report pattern). Pre-restructure, `occ` was
+    # consumed by two independent subtrees and the tokenize + gopher
+    # gate + bigram explode + md5 scan executed TWICE per run — the
+    # bench showed it as a ~12 s entry at sf0.1.
+    doc_b = occ.groupBy("doc_id", "is_target", "b").agg(
+        F.count("*").alias("n")
+    )
+    counts = doc_b.groupBy("b").agg(
+        F.sum("n").alias("cq"),
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("cp"),
     )
     tot = counts.agg(
         F.sum("cq").alias("cq_tot"), F.sum("cp").alias("cp_tot")
@@ -546,11 +572,11 @@ def dsir_weights(
         ).cast("long").alias("lam_e6"),
     )
     scored = (
-        occ.join(F.broadcast(lam), "b")
+        doc_b.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("lam_e6").alias("logw_e6"),
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lam_e6")).cast("long").alias("logw_e6"),
         )
     )
     w_rank = Window.orderBy(F.desc("logw_e6"), F.asc("doc_id"))

@@ -651,11 +651,16 @@ def bm25_topk(
     avgdl_e3 = (1000 * t_total) // d_total
 
     all_toks = tokens_col(F.col(text_col))
+    # dl is projected BELOW the explode (two selects): with
+    # `select(size(...), explode(...))` in one projection the size()
+    # lands in a Project ABOVE the Generate and re-tokenizes the text
+    # once per POSTING row instead of once per document (the
+    # dsir_weights lesson, operators/corpus.py).
     toks = df.select(
         "doc_id",
         F.size(all_toks).cast("long").alias("dl"),
-        F.explode(F.filter(all_toks, lambda t: t.isin(q))).alias("term"),
-    )
+        F.filter(all_toks, lambda t: t.isin(q)).alias("qtoks"),
+    ).select("doc_id", "dl", F.explode("qtoks").alias("term"))
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
 
     dfreq = {

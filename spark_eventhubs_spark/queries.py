@@ -20,6 +20,7 @@ intended.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2655,6 +2656,23 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
                 raise RuntimeError(
                     f"streaming drain into {name} timed out after 300s"
                 )
+            if os.environ.get("SEH_STREAM_DEBUG"):
+                # drain forensics (bench-context variance hunts): one
+                # line per micro-batch with the engine's own phase
+                # timings. Off unless explicitly requested.
+                import json as _json
+                import sys as _sys
+
+                for p in q.recentProgress:
+                    print(
+                        f"SEH_STREAM_DEBUG {name} "
+                        + _json.dumps({
+                            "batchId": p["batchId"],
+                            "rows": p["numInputRows"],
+                            "durationMs": p["durationMs"],
+                        }),
+                        file=_sys.stderr, flush=True,
+                    )
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

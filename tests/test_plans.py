@@ -568,3 +568,38 @@ def test_gopher_filters_computes_metric_tree_once(spark):
     )
     assert plan.count("sort_array") == 1, plan
     assert plan.count("array_distinct") == 1, plan
+
+
+def test_dsir_and_bm25_project_doc_exprs_below_generate(spark):
+    """Per-document expressions must be computed BELOW the explode
+    (r7): `select(expensive_expr, explode(...))` in one projection
+    plans the expression in a Project ABOVE the Generate, evaluating
+    it once per exploded OCCURRENCE (~50x per doc for dsir's gopher
+    target — measured as ~10 of the entry's 12 s). In tree output a
+    node's children print after it, so the expression must appear
+    AFTER the Generate line."""
+    from tests.conftest import SF_DIR
+
+    from spark_eventhubs_spark.operators import corpus as C
+    from spark_eventhubs_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # The logical optimized plan prints the shared subtree once per
+    # consumer (ReuseExchange dedups only at physical planning), so
+    # the pin is ORDER, not count: tree output prints children after
+    # parents, so an expression below the Generate appears after the
+    # first Generate line; the bad shape (Project above Generate)
+    # prints it before.
+    plan = (
+        C.dsir_weights(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Generate" in plan and "sort_array" in plan, plan
+    assert plan.index("sort_array") > plan.index("Generate"), plan
+
+    plan = (
+        T.bm25_topk(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # dl = size(tokenize(text)) rides below the explode: the first
+    # tokenize (regexp split) sits under the Generate, none above
+    assert "Generate" in plan and "split(" in plan, plan
+    assert plan.index("split(") > plan.index("Generate"), plan
