@@ -25,6 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Measurement hygiene: flush pending filesystem writeback BEFORE
+    # timing anything. A bench started minutes after a multi-GB write
+    # (replica builds, step-up sweeps) otherwise competes with the
+    # kernel's dirty-page flusher for the whole run — measured as a
+    # ~16% whole-bench inflation and a 2x tail on the checkpoint-heavy
+    # streaming twins (NOTES_r07: stream_asof_join 7.2 s idle vs
+    # 16.3 s post-write, same code).
+    os.sync()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0

@@ -468,6 +468,7 @@ def dsir_weights(
     text_col: str = "text",
     target=None,
     n_buckets: int = DSIR_BUCKETS,
+    keep_mode: str = "rank",
 ) -> DataFrame:
     """DSIR importance weights: score every document by how much more
     likely its hashed-bigram features are under the TARGET domain's
@@ -508,9 +509,12 @@ def dsir_weights(
     broadcast in this operator (same policy as the bloom positions).
     Scoring is then one broadcast join plus ONE doc_id shuffle over
     the compacted counts. The final top-20% rank is a global sort of the
-    |docs|-row WEIGHT table (not the corpus); at 100 TB replace it
-    with a broadcast cutoff from an approximate weight quantile — the
-    expensive part (feature extraction + scoring) is unchanged.
+    |docs|-row WEIGHT table (not the corpus); at 100 TB pass
+    ``keep_mode="quantile"`` — the cutoff becomes one
+    approximate-quantile scalar broadcast into a narrow filter (no
+    global window), keeping a superset of the rank set that differs
+    only by ties AT the cutoff weight; the expensive part (feature
+    extraction + scoring) is unchanged.
     Overflow audit: the smoothing products stay exact in int64 while
     total bigram occurrences < ~3e9 per side
     ((cp+1)*(cq_tot+B) < 2^63); far beyond that, swap the products
@@ -579,6 +583,29 @@ def dsir_weights(
             F.sum(F.col("n") * F.col("lam_e6")).cast("long").alias("logw_e6"),
         )
     )
+    if keep_mode == "quantile":
+        # The 100 TB keep path the docstring promises: a global sort of
+        # the |docs|-row weight table is fine at catalog scale but at
+        # 100 TB the cutoff comes from one approximate-quantile
+        # aggregation (a scalar) broadcast into a narrow filter — no
+        # global window, no single-partition sort. Contract vs the
+        # exact rank path (pinned in tests/test_corpus.py): the
+        # threshold keep-set CONTAINS the rank keep-set and any extras
+        # sit exactly AT the cutoff weight (the rank path breaks such
+        # ties by doc_id; a threshold cannot).
+        cutoff = int(
+            scored.agg(
+                F.expr("approx_percentile(logw_e6, 0.8, 100000)").alias("c")
+            ).collect()[0]["c"]
+        )
+        return scored.select(
+            "doc_id",
+            "n_grams",
+            "logw_e6",
+            (F.col("logw_e6") >= F.lit(cutoff)).cast("int").alias("keep"),
+        )
+    if keep_mode != "rank":
+        raise ValueError(f"unknown keep_mode {keep_mode!r}")
     w_rank = Window.orderBy(F.desc("logw_e6"), F.asc("doc_id"))
     w_all = Window.partitionBy()
     return scored.select(

@@ -553,3 +553,49 @@ def test_dsir_responds_to_distribution_shift(spark):
     background = [out[i] for i in range(40, 120)]
     # every held-out dialect-A doc outscores every background doc
     assert min(held_out) > max(background)
+
+
+def test_dsir_quantile_keep_mode_matches_rank_up_to_cutoff_ties(spark):
+    """The 100 TB keep path (keep_mode="quantile", one broadcast
+    scalar cutoff, no global window) must keep a SUPERSET of the exact
+    rank path's top-20%, with every extra doc sitting exactly AT the
+    cutoff weight — the only divergence a threshold can have from a
+    (weight DESC, doc_id) rank."""
+    from spark_eventhubs_spark.operators import corpus as C
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rank = {
+        r["doc_id"]: (r["logw_e6"], r["keep"])
+        for r in C.dsir_weights(docs).collect()
+    }
+    quant = {
+        r["doc_id"]: (r["logw_e6"], r["keep"])
+        for r in C.dsir_weights(docs, keep_mode="quantile").collect()
+    }
+    assert set(rank) == set(quant)
+    # identical weights on both paths (scoring untouched)
+    assert all(rank[d][0] == quant[d][0] for d in rank)
+    rank_keep = {d for d, (_, k) in rank.items() if k}
+    quant_keep = {d for d, (_, k) in quant.items() if k}
+    assert rank_keep <= quant_keep
+    # A threshold can only diverge from the exact rank at the boundary:
+    # Spark's q(0.8) is the smallest value with >= 80% of elements at
+    # or below it — one rank beyond the exact top-20% cutoff — so every
+    # extra doc's weight must be one of the two distinct weights
+    # bracketing the 20% boundary (the cutoff weight or the next one
+    # down), never anything deeper.
+    extras = quant_keep - rank_keep
+    if extras:
+        w_desc = sorted((v for v, _ in rank.values()), reverse=True)
+        k = len(w_desc) // 5
+        boundary = {w_desc[k - 1], w_desc[min(k, len(w_desc) - 1)]}
+        assert all(quant[d][0] in boundary for d in extras), (
+            extras, boundary,
+        )
+    # no global window in the quantile plan
+    plan = (
+        C.dsir_weights(docs, keep_mode="quantile")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan, plan

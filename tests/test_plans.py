@@ -205,11 +205,21 @@ def test_bm25_filters_tokens_before_explode(spark):
     """The query-term filter must sit INSIDE the generate's input (an
     array filter evaluated in the scan stage), so non-query tokens are
     never produced as rows — the inverted-index access property."""
-    plan = _explain(Q.queries()["text_bm25_topk"](spark, SF_DIR), "extended")
-    flat = plan.replace("\n", " ").replace(" ", "")
-    assert "explode(filter(" in flat
+    # Since r7 the filtered token array is computed in the Generate's
+    # child projection (so the doc-length sibling rides below the
+    # explode too — see test_dsir_and_bm25_project_doc_exprs_below_
+    # generate): the generator's argument is the aliased filtered
+    # array, and the array filter sits in the subtree BELOW the
+    # Generate — still evaluated in the scan stage, before any row
+    # multiplication.
+    df = Q.queries()["text_bm25_topk"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    flat = opt.replace("\n", " ").replace(" ", "")
+    assert "Generateexplode(qtoks" in flat, opt
+    assert "filter(" in flat, opt
+    assert opt.index("filter(") > opt.index("Generate"), opt
     # and the final top-k is a TakeOrdered, not a global sort
-    simple = _explain(Q.queries()["text_bm25_topk"](spark, SF_DIR), "simple")
+    simple = _explain(df, "simple")
     assert "TakeOrderedAndProject" in simple
 
 

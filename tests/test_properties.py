@@ -250,3 +250,97 @@ def test_bmp_roundtrip(w, h, seed, top_down):
         struct.pack_into("<i", buf, 22, -h)
         payload = bytes(buf)
     assert (decode_bmp(payload) == img).all()
+
+
+# ---------------------------------------------------------------------
+# round-7: window rotation ranking, RIFF/video magic dispatch,
+# footer-stat memo invalidation
+# ---------------------------------------------------------------------
+
+@given(
+    last=st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=8),
+        st.integers(-1, 9), max_size=40,
+    ),
+    extra=st.lists(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=8),
+        max_size=10, unique=True,
+    ),
+    window=st.integers(1, 20),
+)
+def test_rotation_pending_is_always_the_stalest_slice(last, extra, window):
+    """For ANY ledger state: pending ∪ green partitions the registered
+    set, |pending| <= window, and no green entry is staler than any
+    pending entry (never-checked entries always rank first)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rw", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "rotate_window.py",
+        )
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    registered = sorted(set(last) | set(extra))
+    pending, green = rw.compute_sets(registered, last, window=window)
+    assert sorted(pending + green) == registered
+    assert len(pending) == min(window, len(registered))
+    if pending and green:
+        newest_pending = max(last.get(n, -1) for n in pending)
+        oldest_green = min(last.get(n, -1) for n in green)
+        assert oldest_green >= newest_pending
+
+
+@given(payload=st.binary(min_size=0, max_size=64))
+def test_image_and_video_magic_dispatch_is_disjoint_and_total(payload):
+    """No payload is both a video container and a PIL-codec image;
+    RIFF subtypes route exactly one way (WEBP -> image codecs,
+    AVI -> video, anything else RIFF -> neither); decode_image on a
+    RIFF non-WEBP always diagnoses rather than claiming PIL."""
+    from spark_eventhubs_spark.operators import multimodal as M
+
+    is_vid = M.is_video_container(payload)
+    is_webp = M._is_webp(payload)
+    assert not (is_vid and is_webp)
+    if payload[:4] == b"RIFF":
+        if payload[8:12] == b"WEBP":
+            assert is_webp and not is_vid
+        elif payload[8:12] == b"AVI ":
+            assert is_vid and not is_webp
+        else:
+            assert not is_vid and not is_webp
+            try:
+                M.decode_image(payload)
+                assert False, "RIFF non-WEBP must not decode as image"
+            except ValueError as e:
+                assert "decode_wav" in str(e)
+            except NotImplementedError:
+                assert False, "RIFF non-WEBP must not hit the PIL guard"
+
+
+def test_rg_stats_cache_invalidates_on_rewrite(tmp_path):
+    """The planner footer memo must serve stale stats NEVER: same
+    path, new file content (different mtime/size) -> fresh stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from spark_eventhubs_spark.sources import datasource as DS
+
+    p = str(tmp_path / "f.parquet")
+    papq.write_table(pa.table({"sequenceNumber": list(range(10))}), p)
+    first = DS._rg_stats(p, "sequenceNumber")
+    assert first[0][1] == 10 and int(first[0][3]) == 9
+    assert DS._rg_stats(p, "sequenceNumber") is first  # memo hit
+    import os
+    import time as _t
+
+    _t.sleep(0.01)  # ensure mtime_ns differs even on coarse clocks
+    papq.write_table(pa.table({"sequenceNumber": list(range(25))}), p)
+    os.utime(p)  # force a fresh mtime
+    second = DS._rg_stats(p, "sequenceNumber")
+    assert second[0][1] == 25 and int(second[0][3]) == 24
