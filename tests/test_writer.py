@@ -118,3 +118,37 @@ def test_to_json_struct_body(spark, out_hub):
     # EventHubsSinkSuite.scala:158-172
     df = spark.range(1, 100).select(F.to_json(F.struct("*")).alias("body"))
     assert write_eventhubs(df, out_hub) == 99
+
+
+def test_writer_crash_window_contract_is_at_least_once(spark, out_hub):
+    """Fault injection on the sink's write-then-marker protocol (the
+    write-side twin of the r6 source restart tests). The data file
+    lands BEFORE the batch commit marker, so a crash in between makes
+    the redelivered batch write again — duplicates, i.e. AT-LEAST-ONCE,
+    exactly the reference sink's documented contract (EventHubsSink
+    provides no transactional dedup; EventHubsSink.scala:35-42 only
+    skips batches whose marker survived). A crash AFTER the marker is
+    exactly-once on redelivery. Both sides pinned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 6).select(F.col("id").cast("string").alias("body"))
+    assert write_eventhubs(df, out_hub, batch_id=3) == 6
+    # crash window: data committed, marker lost
+    marker = os.path.join(out_hub._hub_dir, "_batch_commits", "3")
+    assert os.path.exists(marker)
+    os.remove(marker)
+    assert write_eventhubs(df, out_hub, batch_id=3) == 6  # re-writes
+    assert out_hub.dataframe().count() == 12  # at-least-once duplicates
+    # seqNos stay gapless and strictly ordered per partition even
+    # across the duplicate write (continuation from current latest)
+    rows = out_hub.dataframe().select("partition", "sequenceNumber").collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["sequenceNumber"])
+    for pid, seqs in by_part.items():
+        assert sorted(seqs) == list(range(len(seqs))), (pid, seqs)
+    # crash after marker: redelivery is exactly-once
+    assert write_eventhubs(df, out_hub, batch_id=3) == 0
+    assert out_hub.dataframe().count() == 12
