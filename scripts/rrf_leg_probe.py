@@ -44,7 +44,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for k in ks:
         d = os.path.join(work, f"x{k}")
-        if not os.path.exists(os.path.join(d, "documents.parquet")):
+        # sentinel = the LAST table build_upsampled writes (embeddings),
+        # so an interrupted build is rebuilt, not silently reused
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
             t0 = time.time()
             build_upsampled(spark, k, d)
             print(json.dumps({"built": k, "sec": round(time.time() - t0, 1)}),

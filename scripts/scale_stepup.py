@@ -180,7 +180,12 @@ def main() -> None:
             from spark_eventhubs_spark.operators import graph as G
 
             t0 = time.time()
-            tbl = ensure_copurchase_edges(spark, d)
+            # artifact lives under this level's dir so the sweep's
+            # finally-rmtree reclaims it (a default tempdir per level
+            # would leak the largest parquet tree of the run)
+            tbl = ensure_copurchase_edges(
+                spark, d, location=os.path.join(d, "_edge_artifact")
+            )
             n_edges = spark.table(tbl).count()
             results["graph_pagerank_ingest"][k] = time.time() - t0
             bcasts["graph_pagerank_ingest"][k] = 0
@@ -198,6 +203,9 @@ def main() -> None:
                 "ingest_sec": round(results["graph_pagerank_ingest"][k], 2),
                 "iterate_sec": round(results["graph_pagerank_iterate"][k], 2),
             }), flush=True)
+            # drop the level's catalog entry now that its files are
+            # about to go with the level dir
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -95,7 +95,10 @@ def materialize_bucketed(
 
 
 def ensure_copurchase_edges(
-    spark: SparkSession, sf_dir: str, n_buckets: int = DEFAULT_BUCKETS
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    location: str | None = None,
 ) -> str:
     """Idempotent per-(session, sf_dir): materialize the co-purchase
     PageRank edge artifact ``(src, dst, deg)`` bucketed + sorted by
@@ -118,7 +121,12 @@ def ensure_copurchase_edges(
     tbl = f"bkt_{base}_{fp}_b{n_buckets}_copurchase_edges"
     if spark.catalog.tableExists(tbl):
         return tbl
-    location = tempfile.mkdtemp(prefix=f"seh_bucketed_{tbl}_")
+    # callers that manage their own workdir (e.g. the step-up sweep,
+    # which must not leak one edge tree per scale level into /tmp)
+    # pass an explicit location; default is a fresh tempdir like
+    # ensure_bucketed
+    if location is None:
+        location = tempfile.mkdtemp(prefix=f"seh_bucketed_{tbl}_")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (

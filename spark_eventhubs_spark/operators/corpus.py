@@ -511,10 +511,11 @@ def dsir_weights(
     the compacted counts. The final top-20% rank is a global sort of the
     |docs|-row WEIGHT table (not the corpus); at 100 TB pass
     ``keep_mode="quantile"`` — the cutoff becomes one
-    approximate-quantile scalar broadcast into a narrow filter (no
-    global window), keeping a superset of the rank set that differs
-    only by ties AT the cutoff weight; the expensive part (feature
-    extraction + scoring) is unchanged.
+    approximate-quantile 1-row aggregate broadcast into a narrow
+    filter (no global window, single plan, shared Exchange), matching
+    the rank set up to cutoff-weight ties plus the sketch's
+    N/accuracy rank error; the expensive part (feature extraction +
+    scoring) is unchanged.
     Overflow audit: the smoothing products stay exact in int64 while
     total bigram occurrences < ~3e9 per side
     ((cp+1)*(cq_tot+B) < 2^63); far beyond that, swap the products
@@ -587,22 +588,32 @@ def dsir_weights(
         # The 100 TB keep path the docstring promises: a global sort of
         # the |docs|-row weight table is fine at catalog scale but at
         # 100 TB the cutoff comes from one approximate-quantile
-        # aggregation (a scalar) broadcast into a narrow filter — no
-        # global window, no single-partition sort. Contract vs the
-        # exact rank path (pinned in tests/test_corpus.py): the
-        # threshold keep-set CONTAINS the rank keep-set and any extras
-        # sit exactly AT the cutoff weight (the rank path breaks such
-        # ties by doc_id; a threshold cannot).
-        cutoff = int(
-            scored.agg(
-                F.expr("approx_percentile(logw_e6, 0.8, 100000)").alias("c")
-            ).collect()[0]["c"]
+        # aggregation (a 1-row frame) broadcast-cross-joined into a
+        # narrow filter — no global window, no single-partition sort,
+        # and ONE plan: the cutoff aggregate and the returned rows both
+        # consume `scored`'s doc_id Exchange, which ReuseExchange plans
+        # once (a driver-side collect would instead run the whole
+        # feature pipeline twice, and would crash on an empty corpus).
+        # Contract vs the exact rank path (pinned in
+        # tests/test_corpus.py): the threshold keep-set matches the
+        # rank keep-set up to (a) ties AT the cutoff weight (a
+        # threshold cannot break them by doc_id) and (b) the sketch's
+        # rank error — approx_percentile's GK sketch guarantees the
+        # cutoff's rank within N/accuracy, so with ACCURACY=1e6 the
+        # boundary can shift by up to 0.0001% of documents in either
+        # direction. Raise ACCURACY (memory is O(accuracy) on one
+        # executor) if a tighter band is needed.
+        ACCURACY = 1_000_000
+        cut = scored.agg(
+            F.expr(
+                f"approx_percentile(logw_e6, 0.8, {ACCURACY})"
+            ).alias("cutoff_e6")
         )
-        return scored.select(
+        return scored.crossJoin(F.broadcast(cut)).select(
             "doc_id",
             "n_grams",
             "logw_e6",
-            (F.col("logw_e6") >= F.lit(cutoff)).cast("int").alias("keep"),
+            (F.col("logw_e6") >= F.col("cutoff_e6")).cast("int").alias("keep"),
         )
     if keep_mode != "rank":
         raise ValueError(f"unknown keep_mode {keep_mode!r}")

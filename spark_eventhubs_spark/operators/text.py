@@ -759,12 +759,15 @@ def gopher_keep_from_metrics(
     )
 
 
-def gopher_keep_col(text: Column) -> Column:
-    """The Gopher gate's keep decision as ONE narrow boolean column —
-    for consumers that only need the flag as a predicate (e.g.
-    corpus.dsir_weights' quality target). Thresholds live in
-    :func:`gopher_keep_from_metrics`; metric derivation matches
-    :func:`gopher_filters`. Zero shuffle: per-row array folds."""
+def _gopher_metric_cols(text: Column):
+    """The four Gopher metric columns (n_words, mean-word-length bp,
+    duplicate-word bp, top-word bp) derived from one tokenization —
+    THE single definition of the metric math, consumed by both
+    :func:`gopher_keep_col` and :func:`gopher_filters` (pre-refactor
+    the ~35-line expression tree was duplicated verbatim in both, and
+    any drift would silently break the invariant that dsir_weights'
+    target flag matches gopher_filters' keep column). All per-row
+    array folds, zero shuffle."""
     toks = tokens_col(text)
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -796,7 +799,17 @@ def gopher_keep_col(text: Column) -> Column:
     mwl_bp = F.floor(F.lit(10000) * sum_len / n_words).cast("long")
     dup_bp = F.floor(F.lit(10000) * (n_words - n_distinct) / n_words).cast("long")
     top_bp = F.floor(F.lit(10000) * max_count / n_words).cast("long")
-    return gopher_keep_from_metrics(n_words, mwl_bp, dup_bp, top_bp)
+    return n_words, mwl_bp, dup_bp, top_bp
+
+
+def gopher_keep_col(text: Column) -> Column:
+    """The Gopher gate's keep decision as ONE narrow boolean column —
+    for consumers that only need the flag as a predicate (e.g.
+    corpus.dsir_weights' quality target). Thresholds live in
+    :func:`gopher_keep_from_metrics`; metrics in
+    :func:`_gopher_metric_cols` (shared with :func:`gopher_filters`).
+    Zero shuffle: per-row array folds."""
+    return gopher_keep_from_metrics(*_gopher_metric_cols(text))
 
 
 def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -815,38 +828,10 @@ def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
     The keep decision applies :func:`gopher_keep_from_metrics` to the
     metric columns computed HERE (a second projection over the named
     columns), so the tokenize + sort_array + fold tree is evaluated
-    once per row — not re-derived inside the keep flag."""
-    toks = tokens_col(F.col(text_col))
-    n_words = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        F.transform(toks, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-    )
-
-    def _merge(acc, w):
-        run = (
-            F.when(w == acc["prev"], acc["run"] + F.lit(1).cast("long"))
-            .otherwise(F.lit(1).cast("long"))
-        )
-        return F.struct(
-            w.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    max_count = F.aggregate(
-        F.sort_array(toks), zero, _merge, lambda acc: acc["best"]
-    )
-    mwl_bp = F.floor(F.lit(10000) * sum_len / n_words).cast("long")
-    dup_bp = F.floor(F.lit(10000) * (n_words - n_distinct) / n_words).cast("long")
-    top_bp = F.floor(F.lit(10000) * max_count / n_words).cast("long")
+    once per row — not re-derived inside the keep flag. Metric math
+    lives once in :func:`_gopher_metric_cols` (shared with
+    :func:`gopher_keep_col`)."""
+    n_words, mwl_bp, dup_bp, top_bp = _gopher_metric_cols(F.col(text_col))
     return df.select(
         F.col("doc_id"),
         n_words.alias("n_words"),
