@@ -1,11 +1,18 @@
 """Pins the mechanized driver-window rotation (round-7 verdict item
-6 / ADVICE r6 item 2): the generated ``_driver_green.py`` must match
-what ``scripts/rotate_window.py`` derives from the CORRECTNESS ledger,
-and the pending set must fit the driver's ~50-entry window — the
-invariant the hand-maintained set silently violated in round 6
-(51 pending, ``w2_order_value_deciles`` fell outside the window)."""
+6 / ADVICE r6 item 2, decoupled from the live ledger per round-7
+verdict item 1): the generated ``_driver_green.py`` must match what
+``scripts/rotate_window.py`` derives from the ledger rounds STAMPED
+into it (``GENERATED_FROM``), and the pending set must fit the
+driver's ~50-entry window. The driver drops a new CORRECTNESS file
+AFTER the round's final commit, so asserting against the live ledger
+glob made the suite red every inter-round gap by construction; live
+drift is now surfaced only by ``rotate_window.py --check``'s exit
+code (a round-start signal), never a pytest failure.
+"""
 import importlib.util
+import json
 import os
+import shutil
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -19,6 +26,12 @@ def _rotate_mod():
     return mod
 
 
+def _stamped_rounds():
+    from spark_eventhubs_spark import _driver_green as G
+
+    return [int(r.lstrip("r")) for r in G.GENERATED_FROM]
+
+
 def test_pending_set_fits_driver_window():
     from spark_eventhubs_spark import queries as Q
 
@@ -28,31 +41,83 @@ def test_pending_set_fits_driver_window():
     assert list(Q.queries())[: len(pending)] == pending
 
 
-def test_generated_file_matches_ledger():
-    """The checked-in _driver_green.py IS what the script would emit:
-    the deferred set is exactly the registered entries minus the 50
-    stalest by (last-green round, catalog order)."""
+def test_generated_file_matches_stamped_ledger():
+    """The checked-in _driver_green.py IS what the script would emit
+    from the ledger rounds stamped into its GENERATED_FROM header —
+    byte-for-byte, independent of any ledger row that landed later."""
     rot = _rotate_mod()
     from spark_eventhubs_spark import queries as Q
 
+    rounds = _stamped_rounds()
     registered = list(Q._QUERIES)
-    last = rot.ledger_last_green()
+    last = rot.ledger_last_green(rounds=rounds)
     pending, green = rot.compute_sets(registered, last)
     assert Q._DRIVER_GREEN == frozenset(green)
-    assert rot.render(sorted(green), pending, last) == open(
+    assert rot.render(sorted(green), pending, last, rounds) == open(
         rot.GENERATED
     ).read()
 
 
+def test_stamped_rounds_exist_and_are_contiguous_prefix():
+    """The stamp names real ledger files and never skips a round that
+    existed at generation time (a gap would mean hand-editing)."""
+    rounds = _stamped_rounds()
+    assert rounds == sorted(rounds)
+    for r in rounds:
+        assert os.path.exists(
+            os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        )
+    live = _rotate_mod().ledger_rounds()
+    # stamped rounds are a prefix of the live ledger (newer rounds may
+    # have landed since generation; older ones cannot disappear)
+    assert live[: len(rounds)] == rounds
+
+
 def test_pending_is_the_stalest_slice():
-    """No deferred entry is staler than any pending entry."""
+    """No deferred entry is staler than any pending entry, judged by
+    the stamped ledger rounds."""
     rot = _rotate_mod()
     from spark_eventhubs_spark import queries as Q
 
-    last = rot.ledger_last_green()
+    last = rot.ledger_last_green(rounds=_stamped_rounds())
     pending = [n for n in Q._QUERIES if n not in Q._DRIVER_GREEN]
     newest_pending = max(last.get(n, -1) for n in pending)
     oldest_deferred = min(
         last.get(n, -1) for n in Q._DRIVER_GREEN
     )
     assert oldest_deferred >= newest_pending
+
+
+def test_newer_ledger_row_flips_check_but_not_suite(tmp_path):
+    """Round-7 verdict item 1's Done condition: simulate the driver
+    dropping a NEWER CORRECTNESS file — the derivation-from-stamp
+    assertions above stay green (they ignore it), while the text the
+    script would now generate DIFFERS from the checked-in file, i.e.
+    ``--check`` flips to STALE (exit 1)."""
+    rot = _rotate_mod()
+    from spark_eventhubs_spark import queries as Q
+
+    for r in rot.ledger_rounds():
+        shutil.copy(
+            os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json"),
+            tmp_path / f"CORRECTNESS_r{r:02d}.json",
+        )
+    nxt = max(rot.ledger_rounds()) + 1
+    # a fresh green row for one currently-pending entry
+    pending = [n for n in Q._QUERIES if n not in Q._DRIVER_GREEN]
+    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(
+        json.dumps(
+            {pending[0]: {"err": None, "rows_match": True}}
+        )
+    )
+    rounds = rot.ledger_rounds(repo=str(tmp_path))
+    assert nxt in rounds
+    last = rot.ledger_last_green(repo=str(tmp_path), rounds=rounds)
+    new_pending, new_green = rot.compute_sets(list(Q._QUERIES), last)
+    new_text = rot.render(sorted(new_green), new_pending, last, rounds)
+    # the live-ledger text differs -> --check would report STALE ...
+    assert new_text != open(rot.GENERATED).read()
+    # ... while the stamped derivation (the pytest contract) is intact:
+    stamped = rot.ledger_last_green(rounds=_stamped_rounds())
+    p2, g2 = rot.compute_sets(list(Q._QUERIES), stamped)
+    assert frozenset(g2) == Q._DRIVER_GREEN
