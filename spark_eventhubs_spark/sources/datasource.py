@@ -55,6 +55,7 @@ from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
+import pyarrow.compute as pacompute
 import pyarrow.dataset as pads
 import pyarrow.parquet as papq
 
@@ -151,10 +152,33 @@ def _parquet_files(d: str) -> List[str]:
 _RG_STATS_CACHE: Dict[Tuple[str, str], Tuple[Tuple[int, int], list]] = {}
 
 
+def _evict_rg_stats(path_prefix: str) -> int:
+    """Drop memoized footer stats for paths under ``path_prefix``.
+
+    Called by :func:`compact_hub_log` / :func:`truncate_hub_log` after
+    their directory swap: those rewrite the whole file set under new
+    part names, so the old paths' cache slots would otherwise live for
+    the driver's lifetime (the per-slot overwrite only covers in-place
+    path reuse). Returns the number of entries dropped.
+    """
+    prefix = path_prefix.rstrip("/") + "/"
+    dead = [k for k in _RG_STATS_CACHE if k[0].startswith(prefix)]
+    for k in dead:
+        del _RG_STATS_CACHE[k]
+    return len(dead)
+
+
 def _rg_stats(path: str, column: str) -> List[Tuple[int, int, object, object]]:
     """Per row group: (index, num_rows, stat_min, stat_max) for column.
     Memoized per (path, mtime, size) — see ``_RG_STATS_CACHE``."""
-    st = os.stat(path)
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        # the file vanished (compaction/truncation swap): purge any
+        # stale slot for it before propagating, so the cache can't
+        # accumulate dead keys even off the explicit eviction paths
+        _RG_STATS_CACHE.pop((path, column), None)
+        raise
     tag = (st.st_mtime_ns, st.st_size)
     hit = _RG_STATS_CACHE.get((path, column))
     if hit is not None and hit[0] == tag:
@@ -200,33 +224,69 @@ def hub_bounds(
     return out
 
 
+def _stat_us(v) -> int:
+    """Footer timestamp statistic -> int microseconds since epoch."""
+    return v.value if hasattr(v, "value") else int(
+        pa.scalar(v, pa.timestamp("us")).value
+    )
+
+
 def _seq_at_time(hub_dir: str, pid: int, t_us: int, latest: int) -> int:
-    """min(seqNo) with enqueuedTime >= t in one partition; row groups
-    whose max(enqueuedTime) < t are skipped via footer stats; past-end
-    times resolve to latest (ref EventHubsClient.scala:306-338)."""
+    """min(seqNo) with enqueuedTime >= t in one partition; past-end
+    times resolve to latest (ref EventHubsClient.scala:306-338).
+
+    Stats-first (round-7 verdict item 2 — the old path iterated every
+    row past t in driver Python, O(backlog) for early timestamps):
+
+    - row groups with max(enqueuedTime) < t are skipped (no row
+      qualifies);
+    - row groups with min(enqueuedTime) >= t qualify ENTIRELY, so
+      their footer min(sequenceNumber) is the exact candidate — zero
+      data pages read; for a time near stream start this resolves the
+      whole partition from footers alone;
+    - only boundary groups (min < t <= max) are read, and filtered
+      with vectorized ``pyarrow.compute`` instead of per-row Python;
+    - a group whose footer min(sequenceNumber) can't beat the current
+      best is pruned without reading. Exact regardless of
+      enqueuedTime/seqNo ordering — no monotonicity assumption.
+    """
     d = _partition_dirs(hub_dir).get(pid)
     if d is None:
         return latest
+    t_scalar = pa.scalar(t_us, pa.timestamp("us", tz="UTC"))
     best: Optional[int] = None
     for f in _parquet_files(d):
-        keep = []
-        for i, n, _, mx in _rg_stats(f, "enqueuedTime"):
-            if n == 0 or mx is None:
+        seq_min = {
+            i: int(mn)
+            for i, n, mn, _ in _rg_stats(f, "sequenceNumber")
+            if n and mn is not None
+        }
+        pf = None
+        for i, n, mn, mx in _rg_stats(f, "enqueuedTime"):
+            if n == 0 or mx is None or _stat_us(mx) < t_us:
                 continue
-            mx_us = mx.value if hasattr(mx, "value") else int(pa.scalar(mx, pa.timestamp("us")).value)
-            if mx_us >= t_us:
-                keep.append(i)
-        if not keep:
-            continue
-        pf = papq.ParquetFile(f)
-        tbl = pf.read_row_groups(keep, columns=["sequenceNumber", "enqueuedTime"])
-        enq = tbl.column("enqueuedTime").cast(pa.timestamp("us", tz="UTC"))
-        seqs = tbl.column("sequenceNumber")
-        for batch_seq, batch_enq in zip(seqs.chunks, enq.chunks):
-            for s, e in zip(batch_seq, batch_enq):
-                if e.value >= t_us:
-                    v = s.as_py()
-                    best = v if best is None else min(best, v)
+            smn = seq_min.get(i)
+            if best is not None and smn is not None and smn >= best:
+                continue
+            if mn is not None and _stat_us(mn) >= t_us and smn is not None:
+                cand = smn  # whole group qualifies: footer min is exact
+            else:
+                if pf is None:
+                    pf = papq.ParquetFile(f)
+                tbl = pf.read_row_groups(
+                    [i], columns=["sequenceNumber", "enqueuedTime"]
+                )
+                enq = tbl.column("enqueuedTime").cast(
+                    pa.timestamp("us", tz="UTC")
+                )
+                seqs = pacompute.filter(
+                    tbl.column("sequenceNumber"),
+                    pacompute.greater_equal(enq, t_scalar),
+                )
+                if len(seqs) == 0:
+                    continue
+                cand = pacompute.min(seqs).as_py()
+            best = cand if best is None else min(best, cand)
     return best if best is not None else latest
 
 
@@ -836,6 +896,7 @@ def compact_hub_log(spark, hub_dir: str, partition_count: int = 4) -> dict:
     os.rename(hub_dir, old)
     os.rename(tmp, hub_dir)
     shutil.rmtree(old, ignore_errors=True)
+    _evict_rg_stats(hub_dir)
     return before
 
 
@@ -906,4 +967,5 @@ def truncate_hub_log(
     os.rename(hub_dir, old)
     os.rename(tmp, hub_dir)
     shutil.rmtree(old, ignore_errors=True)
+    _evict_rg_stats(hub_dir)
     return dropped_rows

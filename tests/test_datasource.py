@@ -487,3 +487,91 @@ def test_available_now_rate_limited_drains_incrementally(spark, tmp_path):
         if len(rows) == total_hub:
             break
     assert prev == total_hub, f"backlog not drained: {prev}"
+
+
+# ------------------------------------------------- _seq_at_time (stats-first)
+
+def test_seq_at_time_matches_bruteforce_oracle(spark, hub_dir):
+    """The stats-first `_seq_at_time` (footer-resolved full groups +
+    vectorized boundary groups, round-7 verdict item 2) equals a
+    brute-force min(seqNo | enqueuedTime >= t) at every interesting t:
+    before-stream, row-group boundary timestamps, arbitrary mid-stream
+    instants, and past-end (-> latest)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from spark_eventhubs_spark.sources.datasource import (
+        _seq_at_time,
+        hub_bounds,
+    )
+
+    bounds = hub_bounds(hub_dir)
+    for pid in sorted(bounds):
+        tbl = pads.dataset(
+            os.path.join(hub_dir, f"partition={pid}")
+        ).to_table(columns=["sequenceNumber", "enqueuedTime"])
+        seqs = tbl.column("sequenceNumber").to_pylist()
+        enqs = [
+            v.value for v in
+            tbl.column("enqueuedTime").cast(pa.timestamp("us", tz="UTC"))
+        ]
+        lo_t, hi_t = min(enqs), max(enqs)
+        probes = {
+            lo_t - 10_000_000,          # before stream start
+            lo_t, lo_t + 1,             # inclusive boundary
+            (lo_t + hi_t) // 2,         # mid-stream
+            sorted(enqs)[len(enqs) // 3],
+            hi_t, hi_t + 1,             # past-end -> latest
+        }
+        latest = bounds[pid][1]
+        for t in sorted(probes):
+            brute = min(
+                (s for s, e in zip(seqs, enqs) if e >= t), default=latest
+            )
+            assert _seq_at_time(hub_dir, pid, t, latest) == brute, (
+                f"pid={pid} t={t}"
+            )
+
+
+def test_seq_at_time_early_timestamp_reads_no_data_pages(hub_dir):
+    """For t at/before stream start every row group qualifies entirely,
+    so the answer must come from footer statistics alone — no
+    ParquetFile opens at all once footers are memoized (the 100 TB
+    design point: O(row groups) footer work, not O(rows-past-t)
+    driver Python)."""
+    from unittest import mock
+
+    from spark_eventhubs_spark.sources import datasource as ds
+
+    b = ds.hub_bounds(hub_dir)
+    pid = sorted(b)[0]
+    # warm the footer memo for both columns (a cache miss would open
+    # the footer via ParquetFile, which the patch below forbids)
+    ds._seq_at_time(hub_dir, pid, 0, b[pid][1])
+    with mock.patch.object(
+        ds.papq, "ParquetFile",
+        side_effect=AssertionError("data pages read for a full-cover t"),
+    ):
+        # t=0 is before any event, so all groups fully qualify
+        got = ds._seq_at_time(hub_dir, pid, 0, b[pid][1])
+    assert got == b[pid][0]
+
+
+def test_compaction_evicts_footer_stat_cache(spark, tmp_path):
+    """compact_hub_log swaps in new part files; memoized footer stats
+    for the dead paths must not linger (ADVICE r7: unbounded growth
+    over repeated compactions)."""
+    from spark_eventhubs_spark.sources import datasource as ds
+
+    hub = ds.materialize_hub(spark, SF_DIR, str(tmp_path / "evhub"))
+    ds.hub_bounds(hub)  # populate the memo from the pre-compact files
+    pre_keys = {k for k in ds._RG_STATS_CACHE if k[0].startswith(hub)}
+    assert pre_keys
+    ds.compact_hub_log(spark, hub)
+    live = {
+        k for k in ds._RG_STATS_CACHE
+        if k[0].startswith(hub) and not os.path.exists(k[0])
+    }
+    assert not live, f"stale cache keys for deleted files: {live}"
+    # bounds still correct from the new files
+    assert all(hi > lo for lo, hi in ds.hub_bounds(hub).values())
