@@ -32,7 +32,28 @@ def main() -> None:
     # ~16% whole-bench inflation and a 2x tail on the checkpoint-heavy
     # streaming twins (NOTES_r07: stream_asof_join 7.2 s idle vs
     # 16.3 s post-write, same code).
+    # The sync wait time and pre-run host state go into the JSON so a
+    # depressed scan/stream figure is attributable from the artifact
+    # alone (round-7 verdict item 3): a large sync_wait_s or dirty_kb
+    # means the bench started on a loaded host and the throughput
+    # figures carry writeback contention no code change explains.
+    t_sync = time.time()
     os.sync()
+    sync_wait_s = round(time.time() - t_sync, 3)
+    try:
+        with open("/proc/loadavg") as fh:
+            host_load_1m = float(fh.read().split()[0])
+    except OSError:
+        host_load_1m = -1.0
+    try:
+        with open("/proc/meminfo") as fh:
+            dirty_kb = next(
+                int(line.split()[1])
+                for line in fh
+                if line.startswith("Dirty:")
+            )
+    except (OSError, StopIteration):
+        dirty_kb = -1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -227,6 +248,13 @@ def main() -> None:
         "stream_batches": n_batches,
         "planner_ms_per_batch": planner_ms,
         "planner_batches": n_plans,
+        # measurement-hygiene provenance (round-7 verdict item 3):
+        # sync_wait_s ~0 and small dirty_kb_pre_sync = idle host; a
+        # multi-second sync or GB-scale dirty set explains a depressed
+        # scan figure without re-litigating the code.
+        "sync_wait_s": sync_wait_s,
+        "host_load_1m_pre": host_load_1m,
+        "dirty_kb_pre_sync": dirty_kb,
         # the reference's worked latency example: 0.2 ms/event
         # (docs/slow-partition-adjustment-feature.md:35-42, BASELINE.md)
         "baseline_ms_per_event": 0.2,

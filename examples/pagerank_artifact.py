@@ -12,7 +12,9 @@ Run:  python examples/pagerank_artifact.py [sf_dir]
 """
 
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,8 +35,11 @@ def main() -> None:
                             shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # explicit script-managed location: the default would leak a
+    # seh_bucketed_* tempdir holding the full edge tree every run
+    work = tempfile.mkdtemp(prefix="pagerank_example_")
     t0 = time.time()
-    tbl = ensure_copurchase_edges(spark, sf_dir)
+    tbl = ensure_copurchase_edges(spark, sf_dir, location=work)
     n_edges = spark.table(tbl).count()
     print(f"ingest: {tbl} ({n_edges} edges, bucketed by src) "
           f"in {time.time() - t0:.2f}s")
@@ -75,7 +80,9 @@ def main() -> None:
         map(tuple, G.pagerank(li).collect())
     )
     print("artifact path matches from-lineitem ranks exactly")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -541,6 +541,11 @@ def _decode_video_av(payload: bytes) -> dict:
     import numpy as _np
 
     with _av.open(_io.BytesIO(payload)) as container:
+        if not container.streams.video:
+            raise ValueError(
+                "valid video container but no video stream (e.g. an "
+                "audio-only MP4) — nothing to decode"
+            )
         stream = container.streams.video[0]
         n_frames = 0
         luma_sum = 0

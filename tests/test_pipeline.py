@@ -505,3 +505,35 @@ def test_video_decode_real_stats_with_av(spark):
     )
     row = M.video_stats(df).collect()[0]
     assert row["doc_id"] == 7 and row["n_frames"] == 8
+
+
+def test_video_container_without_video_stream_precise_diagnosis():
+    """ADVICE r7: a payload with valid video-container magic but no
+    video stream (audio-only MP4) must raise a ValueError naming the
+    condition, not a bare IndexError from streams.video[0]."""
+    import io
+
+    import pytest
+
+    av = pytest.importorskip("av")
+
+    from spark_eventhubs_spark.operators import multimodal as M
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as c:
+        stream = c.add_stream("aac", rate=8000)
+        import numpy as np
+
+        frame = av.AudioFrame.from_ndarray(
+            np.zeros((1, 1024), dtype=np.float32), format="fltp",
+            layout="mono",
+        )
+        frame.sample_rate = 8000
+        for pkt in stream.encode(frame):
+            c.mux(pkt)
+        for pkt in stream.encode():
+            c.mux(pkt)
+    payload = buf.getvalue()
+    assert M.is_video_container(payload)  # ftyp magic present
+    with pytest.raises(ValueError, match="no video stream"):
+        M.decode_video(payload)
