@@ -417,7 +417,112 @@ def _scd2_update(
     )
 
 
-def streaming_scd2(sdf: DataFrame, user_key: str = "user_id") -> DataFrame:
+_SCD2B_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(StringType())),
+        StructField("cur_types", ArrayType(StringType())),
+        StructField("valid_froms", ArrayType(LongType())),
+        StructField("n_runs", ArrayType(LongType())),
+    ]
+)
+
+
+def _scd2_bucket_update(
+    key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-BUCKET SCD2 update: the open run of every user hashing into
+    this bucket lives in ONE state row (parallel arrays), and the
+    whole bucket's micro-batch slice is run-length-encoded in a single
+    vectorized pass — no per-user Python, no per-user state-store
+    round trip. Semantically identical to :func:`_scd2_update` run
+    per user (same sort order, same closed intervals); see
+    :func:`streaming_scd2` for why this is the scale path."""
+    import numpy as np
+
+    cols = [
+        "user_id_str", "state", "valid_from_us", "valid_to_us", "n_events",
+    ]
+    if state.exists:
+        users, cts, vfs, nrs = state.get
+        st = pd.DataFrame(
+            {
+                "user_id_str": pd.array(users, dtype=object),
+                "event_type": pd.array(cts, dtype=object),
+                "enq_us": np.asarray(vfs, dtype=np.int64),
+                "w": np.asarray(nrs, dtype=np.int64),
+            }
+        )
+        st["rank"] = 0  # open-run rows order before any new event
+        st["sequenceNumber"] = np.int64(-1)
+    else:
+        st = None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        yield pd.DataFrame(columns=cols).astype(
+            {"valid_from_us": "int64", "valid_to_us": "int64",
+             "n_events": "int64"}
+        )
+        return
+    batch = pd.concat(frames, ignore_index=True)
+    batch["w"] = np.int64(1)
+    batch["rank"] = 1
+    allr = pd.concat([st, batch], ignore_index=True) if st is not None else batch
+    allr = allr.sort_values(
+        ["user_id_str", "rank", "enq_us", "sequenceNumber"], kind="mergesort"
+    )
+    ucode = pd.factorize(allr["user_id_str"], use_na_sentinel=False)[0]
+    tcode = pd.factorize(allr["event_type"], use_na_sentinel=False)[0]
+    change = np.ones(len(allr), dtype=bool)
+    change[1:] = (ucode[1:] != ucode[:-1]) | (tcode[1:] != tcode[:-1])
+    run_id = np.cumsum(change) - 1
+    runs = (
+        pd.DataFrame(
+            {
+                "run_id": run_id,
+                "user_id_str": allr["user_id_str"].to_numpy(),
+                "event_type": allr["event_type"].to_numpy(),
+                "enq_us": allr["enq_us"].to_numpy(),
+                "w": allr["w"].to_numpy(),
+            }
+        )
+        .groupby("run_id", sort=True)
+        .agg(
+            user_id_str=("user_id_str", "first"),
+            event_type=("event_type", "first"),
+            valid_from_us=("enq_us", "first"),
+            n_events=("w", "sum"),
+        )
+        .reset_index(drop=True)
+    )
+    same_user_next = np.zeros(len(runs), dtype=bool)
+    rcode = pd.factorize(runs["user_id_str"], use_na_sentinel=False)[0]
+    same_user_next[:-1] = rcode[1:] == rcode[:-1]
+    closed = runs[same_user_next].copy()
+    closed["valid_to_us"] = runs["valid_from_us"].to_numpy()[
+        np.flatnonzero(same_user_next) + 1
+    ]
+    open_runs = runs[~same_user_next]
+    state.update(
+        (
+            [None if pd.isna(u) else str(u)
+             for u in open_runs["user_id_str"]],
+            [None if pd.isna(t) else str(t)
+             for t in open_runs["event_type"]],
+            [int(v) for v in open_runs["valid_from_us"]],
+            [int(v) for v in open_runs["n_events"]],
+        )
+    )
+    yield closed.rename(columns={"event_type": "state"})[cols].astype(
+        {"valid_from_us": "int64", "valid_to_us": "int64",
+         "n_events": "int64"}
+    )
+
+
+def streaming_scd2(
+    sdf: DataFrame,
+    user_key: str = "user_id",
+    n_buckets: int | None = 64,
+) -> DataFrame:
     """SCD type-2 compaction as a stream (the CDC shape): per user,
     the current (state, valid_from, run_count) is the ONLY state; a
     closed validity interval is emitted the moment the user's
@@ -430,18 +535,43 @@ def streaming_scd2(sdf: DataFrame, user_key: str = "user_id") -> DataFrame:
     Exact under ANY micro-batch boundary: processing is pure
     carry-forward with no lookahead, and the hub replays per-partition
     in seqNo order, which is per-user (enq_us, sequenceNumber) order —
-    the same total order the batch oracle sorts by. Scale: state is
-    one (string, long, long) per user; output rows only on change."""
+    the same total order the batch oracle sorts by.
+
+    ``n_buckets`` (default 64) groups by ``hash(user) % n_buckets``
+    instead of per-user: Spark's applyInPandasWithState pays a fixed
+    Arrow/state-store round trip per GROUP per trigger (profiled at
+    ~0.2-0.25 ms — the whole cost of the sf1 drain, round-7 verdict
+    item 4), so per-user grouping is O(active users) fixed costs
+    per trigger while bucketing caps it at ``n_buckets`` and
+    processes each bucket's slice in one vectorized RLE pass
+    (:func:`_scd2_bucket_update`). Output and state CONTENT are
+    identical to the per-user path (``n_buckets=None``) — only the
+    state layout changes (per-user rows vs per-bucket parallel
+    arrays). Scale: state is one (string, long, long) per user either
+    way; at 100 TB size n_buckets ~ a few x shuffle parallelism so
+    buckets stay cache-sized while the per-trigger constant stays
+    flat."""
     keyed = sdf.select(
         F.col("properties").getItem(user_key).alias("user_id_str"),
         F.col("properties").getItem("event_type").alias("event_type"),
         F.unix_micros("enqueuedTime").alias("enq_us"),
         F.col("sequenceNumber"),
     )
-    return keyed.groupBy("user_id_str").applyInPandasWithState(
-        _scd2_update,
+    if n_buckets is None:
+        return keyed.groupBy("user_id_str").applyInPandasWithState(
+            _scd2_update,
+            outputStructType=_SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    bucketed = keyed.withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id_str"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _scd2_bucket_update,
         outputStructType=_SCD2_OUT_SCHEMA,
-        stateStructType=_SCD2_STATE_SCHEMA,
+        stateStructType=_SCD2B_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -671,3 +671,39 @@ def test_stream_sessionize_restart_mid_backlog_exactly_once(spark, tmp_path):
         for r in con.sql(entry.oracle_sql()["stream_sessionize"]).fetchall()
     )
     assert got == truth and got
+
+
+def test_streaming_scd2_bucketed_equals_per_user_path(spark, hub_dir, tmp_path):
+    """The bucketed SCD2 (hash(user)%B groups, vectorized per-bucket
+    RLE — round-8's fix for the per-group applyInPandasWithState
+    constant) must emit EXACTLY the per-user path's rows on the same
+    multi-trigger replay, including n_events carried across batch
+    boundaries. B=4 forces many users per bucket."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_scd2
+
+    outs = {}
+    for tag, nb in (("peruser", None), ("bucketed", 4)):
+        sdf = (
+            spark.readStream.format("eventhubs")
+            .option("path", hub_dir)
+            .option("maxEventsPerTrigger", "300")
+            .option("eventhubs.consumerGroup", f"scd2_eq_{tag}")
+            .load()
+        )
+        q = (
+            streaming_scd2(sdf, n_buckets=nb)
+            .writeStream.format("memory")
+            .queryName(f"scd2_eq_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"c_{tag}"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        outs[tag] = sorted(
+            (r["user_id_str"], r["state"], r["valid_from_us"],
+             r["valid_to_us"], r["n_events"])
+            for r in spark.sql(f"SELECT * FROM scd2_eq_{tag}").collect()
+        )
+    assert outs["bucketed"] == outs["peruser"] and outs["bucketed"]
