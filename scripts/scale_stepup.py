@@ -40,6 +40,11 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# measured cell value = median of N_RUNS fresh-plan runs (GC point +
+# query-plan-cache clear before each): GC hiccups and block-manager
+# pressure only ever inflate a sample, so the median is robust to the
+# single-shot outliers that needed manual explanation in r6/r7
+N_RUNS = int(os.environ.get("SEH_STEPUP_RUNS", "3"))
 
 FAMILIES = [
     "q9_product_profit",
@@ -162,16 +167,28 @@ def main() -> None:
                 # same code; scripts/rrf_leg_probe.py is the evidence).
                 # A GC point before each family keeps the measurement
                 # about the family, not its predecessors' garbage.
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.time()
-                df = qs[fam](spark, d)
-                n = df.count()
-                sec = time.time() - t0
+                # Median-of-N runs (r7 verdict item 5): single-shot
+                # cells needed two manual outlier explanations last
+                # round (pipeline @10x, pagerank-iterate @2x); a GC
+                # hiccup can only inflate, so the median of 3 fresh
+                # plans is the honest cell value.
+                samples = []
+                n = 0
+                for _ in range(N_RUNS):
+                    spark.sparkContext._jvm.System.gc()
+                    clear_cached_plans(spark, "query")
+                    t0 = time.time()
+                    df = qs[fam](spark, d)
+                    n = df.count()
+                    samples.append(time.time() - t0)
+                samples.sort()
+                sec = samples[len(samples) // 2]
                 results[fam][k] = sec
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 bcasts[fam][k] = plan.count("BroadcastHashJoin")
                 print(json.dumps({
                     "family": fam, "k": k, "rows": n, "sec": round(sec, 2),
+                    "spread": [round(samples[0], 2), round(samples[-1], 2)],
                     "n_broadcast_joins": bcasts[fam][k],
                 }), flush=True)
             from spark_eventhubs_spark.bucketing import (
@@ -179,20 +196,40 @@ def main() -> None:
             )
             from spark_eventhubs_spark.operators import graph as G
 
-            t0 = time.time()
-            # artifact lives under this level's dir so the sweep's
-            # finally-rmtree reclaims it (a default tempdir per level
-            # would leak the largest parquet tree of the run)
-            tbl = ensure_copurchase_edges(
-                spark, d, location=os.path.join(d, "_edge_artifact")
-            )
-            n_edges = spark.table(tbl).count()
-            results["graph_pagerank_ingest"][k] = time.time() - t0
+            ing_samples: list = []
+            it_samples: list = []
+            tbl = ""
+            n_edges = n = 0
+            for r in range(N_RUNS):
+                # ensure_copurchase_edges is idempotent per (session,
+                # sf_dir): drop the table + tree so each ingest run
+                # rebuilds from scratch. The artifact lives under this
+                # level's dir so the sweep's finally-rmtree reclaims it
+                # (a default tempdir per level would leak the largest
+                # parquet tree of the run).
+                loc = os.path.join(d, "_edge_artifact")
+                if tbl:
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                shutil.rmtree(loc, ignore_errors=True)
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                tbl = ensure_copurchase_edges(spark, d, location=loc)
+                n_edges = spark.table(tbl).count()
+                ing_samples.append(time.time() - t0)
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                df = G.pagerank(edges=spark.table(tbl))
+                n = df.count()
+                it_samples.append(time.time() - t0)
+            ing_samples.sort()
+            it_samples.sort()
+            results["graph_pagerank_ingest"][k] = ing_samples[
+                len(ing_samples) // 2
+            ]
             bcasts["graph_pagerank_ingest"][k] = 0
-            t0 = time.time()
-            df = G.pagerank(edges=spark.table(tbl))
-            n = df.count()
-            results["graph_pagerank_iterate"][k] = time.time() - t0
+            results["graph_pagerank_iterate"][k] = it_samples[
+                len(it_samples) // 2
+            ]
             plan = df._jdf.queryExecution().executedPlan().toString()
             bcasts["graph_pagerank_iterate"][k] = plan.count(
                 "BroadcastHashJoin"
@@ -202,6 +239,10 @@ def main() -> None:
                 "edges": n_edges, "rows": n,
                 "ingest_sec": round(results["graph_pagerank_ingest"][k], 2),
                 "iterate_sec": round(results["graph_pagerank_iterate"][k], 2),
+                "ingest_spread": [round(ing_samples[0], 2),
+                                  round(ing_samples[-1], 2)],
+                "iterate_spread": [round(it_samples[0], 2),
+                                   round(it_samples[-1], 2)],
             }), flush=True)
             # drop the level's catalog entry now that its files are
             # about to go with the level dir

@@ -46,16 +46,23 @@ PR_TOP = 20
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct bidirectional (src, dst) part pairs co-occurring in an
-    order. The self-join is on orderkey (equi-join, <= 7 rows per
-    order on the reduced schema) and never a cross join."""
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    ).distinct()
-    b = a.select(F.col("ok"), F.col("src").alias("dst"))
+    order, via per-order part ARRAYS: one ``collect_set`` aggregation
+    on orderkey (map-side partials, <= 7 parts per order so a set row
+    is tiny) and a double explode minus the diagonal — pair expansion
+    is purely local. This replaces the previous
+    distinct-then-self-join, which cost two extra lineitem-scale
+    shuffles ((orderkey, part) dedup + the join exchange on orderkey);
+    the only wide stages left in ingest are this one orderkey
+    aggregation and the final (src, dst) distinct (the 30x ingest
+    medians live in scripts/scale_stepup.py's pagerank split
+    output, STEPUP_r08.json)."""
+    per_order = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
     return (
-        a.join(b, "ok")
+        per_order.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
 

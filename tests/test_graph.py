@@ -133,3 +133,17 @@ def test_pagerank_from_bucketed_artifact_matches_and_skips_edge_shuffle(spark):
     assert "Bucketed: true" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_copurchase_edges_ingest_is_two_shuffles_no_self_join(spark):
+    """r8 ingest rewrite (r7 verdict item 7): pair expansion goes
+    through ONE orderkey collect_set aggregation + local double
+    explode, so the edge build carries exactly two wide stages (the
+    orderkey agg and the (src,dst) distinct) and NO join — the
+    previous distinct-then-self-join shape cost two extra
+    lineitem-scale shuffles."""
+    e = G.copurchase_edges(_lineitem(spark))
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
