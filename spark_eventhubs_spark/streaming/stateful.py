@@ -236,11 +236,93 @@ def _asof_update(
     ).astype({"purchase_us": "int64", "last_click_us": "Int64"})
 
 
+_ASOFB_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(StringType())),
+        StructField("last_left_us", ArrayType(LongType())),
+    ]
+)
+
+
+def _asof_bucket_update(
+    key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-BUCKET as-of update (the :func:`_scd2_bucket_update`
+    pattern): every user's last-click carry in one state row of
+    parallel arrays, the bucket's batch slice forward-filled in one
+    vectorized pass. Only users WITH a click are stored — a user with
+    no click yet behaves identically to an unseen user (NULL carry),
+    exactly the per-user path's ``(None,)`` state. Timestamps ride a
+    float64 ffill: micro-epoch values (< 2^53) are exact in float64.
+    """
+    import numpy as np
+
+    cols = ["user_id", "purchase_us", "last_click_us"]
+    if state.exists:
+        users, lasts = state.get
+        st = pd.DataFrame(
+            {
+                "user_id": pd.array(users, dtype=object),
+                "enq_us": np.asarray(lasts, dtype=np.int64),
+                "side": np.int64(0),
+                "rank": 0,
+                "sequenceNumber": np.int64(-1),
+            }
+        )
+    else:
+        st = None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        yield pd.DataFrame(columns=cols).astype(
+            {"purchase_us": "int64", "last_click_us": "Int64"}
+        )
+        return
+    batch = pd.concat(frames, ignore_index=True).drop(
+        columns=["bucket"], errors="ignore"
+    )
+    batch["rank"] = 1
+    allr = pd.concat([st, batch], ignore_index=True) if st is not None else batch
+    allr = allr.sort_values(
+        ["user_id", "rank", "enq_us", "side", "sequenceNumber"],
+        kind="mergesort",
+    )
+    ucode = pd.factorize(allr["user_id"], use_na_sentinel=False)[0]
+    enq = allr["enq_us"].to_numpy(dtype=np.int64)
+    side = allr["side"].to_numpy(dtype=np.int64)
+    clicks = pd.Series(np.where(side == 0, enq.astype(np.float64), np.nan))
+    filled = clicks.groupby(ucode).ffill()
+    is_purchase = side == 1
+    out = pd.DataFrame(
+        {
+            "user_id": allr["user_id"].to_numpy()[is_purchase],
+            "purchase_us": enq[is_purchase],
+            "last_click_us": pd.array(
+                [None if pd.isna(v) else int(v)
+                 for v in filled.to_numpy()[is_purchase]],
+                dtype="Int64",
+            ),
+        }
+    )
+    last_click = filled.groupby(ucode).last()  # last non-null per user
+    first_user = (
+        pd.Series(allr["user_id"].to_numpy()).groupby(ucode).first()
+    )
+    keep = last_click.notna()
+    state.update(
+        (
+            [str(u) for u in first_user[keep]],
+            [int(v) for v in last_click[keep]],
+        )
+    )
+    yield out.astype({"purchase_us": "int64", "last_click_us": "Int64"})
+
+
 def streaming_asof_join(
     sdf: DataFrame,
     left_type: str = "click",
     right_type: str = "purchase",
     user_key: str = "user_id",
+    n_buckets: int | None = 64,
 ) -> DataFrame:
     """For every purchase, the most recent click at-or-before it, per
     user — the streaming twin of the batch ``hub_asof_join`` query
@@ -255,6 +337,13 @@ def streaming_asof_join(
     in-order streams only (a late click cannot retro-fill an emitted
     purchase) — the hub source replays per-partition in seqNo order,
     which is per-user order, so the twin is exact on replay.
+
+    ``n_buckets`` (default 64) applies the :func:`streaming_scd2`
+    bucketing: applyInPandasWithState's fixed per-group round trip
+    makes per-user grouping O(active users) fixed costs per trigger;
+    hash(user) % n_buckets caps it at n_buckets with a vectorized
+    forward-fill per bucket (:func:`_asof_bucket_update`), emitting
+    identical rows. ``n_buckets=None`` keeps the per-user layout.
     """
     keyed = sdf.where(
         F.col("properties").getItem("event_type").isin(left_type, right_type)
@@ -266,10 +355,21 @@ def streaming_asof_join(
             F.col("properties").getItem("event_type") == right_type, F.lit(1)
         ).otherwise(F.lit(0)).alias("side"),
     )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _asof_update,
+    if n_buckets is None:
+        return keyed.groupBy("user_id").applyInPandasWithState(
+            _asof_update,
+            outputStructType=_ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    bucketed = keyed.withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _asof_bucket_update,
         outputStructType=_ASOF_OUT_SCHEMA,
-        stateStructType=_ASOF_STATE_SCHEMA,
+        stateStructType=_ASOFB_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -463,7 +563,12 @@ def _scd2_bucket_update(
              "n_events": "int64"}
         )
         return
-    batch = pd.concat(frames, ignore_index=True)
+    # drop the grouping column so state and batch frames align exactly
+    # (concat with a column absent on one side makes all-NA columns —
+    # deprecated dtype behavior in pandas >= 2.1)
+    batch = pd.concat(frames, ignore_index=True).drop(
+        columns=["bucket"], errors="ignore"
+    )
     batch["w"] = np.int64(1)
     batch["rank"] = 1
     allr = pd.concat([st, batch], ignore_index=True) if st is not None else batch

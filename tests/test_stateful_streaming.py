@@ -707,3 +707,36 @@ def test_streaming_scd2_bucketed_equals_per_user_path(spark, hub_dir, tmp_path):
             for r in spark.sql(f"SELECT * FROM scd2_eq_{tag}").collect()
         )
     assert outs["bucketed"] == outs["peruser"] and outs["bucketed"]
+
+
+def test_streaming_asof_bucketed_equals_per_user_path(spark, hub_dir, tmp_path):
+    """Bucketed as-of (hash(user)%B + vectorized forward-fill) must
+    emit EXACTLY the per-user path's rows on the same multi-trigger
+    replay — including NULL last_click_us for purchases preceding any
+    click, and carries across micro-batch boundaries. B=4 forces many
+    users per bucket."""
+    outs = {}
+    for tag, nb in (("peruser", None), ("bucketed", 4)):
+        sdf = (
+            spark.readStream.format("eventhubs")
+            .option("path", hub_dir)
+            .option("maxEventsPerTrigger", "300")
+            .option("eventhubs.consumerGroup", f"asof_eq_{tag}")
+            .load()
+        )
+        q = (
+            streaming_asof_join(sdf, n_buckets=nb)
+            .writeStream.format("memory")
+            .queryName(f"asof_eq_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"a_{tag}"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        outs[tag] = sorted(
+            (r["user_id"], r["purchase_us"], r["last_click_us"])
+            for r in spark.sql(f"SELECT * FROM asof_eq_{tag}").collect()
+        )
+    assert outs["bucketed"] == outs["peruser"] and outs["bucketed"]
