@@ -147,15 +147,20 @@ def main() -> None:
             spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     # throughput: per-event scan cost through the hub projection on the
-    # flagship windowed agg. The events table is replicated 10x by path
-    # so the ~0.1-0.2 s fixed job-launch cost amortizes and the figure
-    # measures scan speed (the quantity that matters at 100 TB), not
-    # local-mode scheduling overhead. Fresh plan per run, best of 2.
+    # flagship windowed agg. The events table is replicated by path so
+    # the fixed job-launch cost amortizes and the figure measures scan
+    # speed (the quantity that matters at 100 TB), not local-mode
+    # scheduling overhead. r8 finding: at 10x replication the job is
+    # sub-second and ~half its wall is fixed scheduling/JIT cost (an
+    # isolated probe reads 1.8-3.3 Meps cold and ~7 Meps hot at 40x on
+    # an idle host), so round-over-round 10x deltas tracked overhead
+    # noise, not code. The headline figure now uses 40x; the 10x
+    # figure is kept as hub_scan_meps_m10 for cross-round continuity,
+    # and both replication factors + best wall go into the record.
     events_path = f"{sf_dir}/events.parquet"
     n_events = spark.read.parquet(events_path).count()
-    scan_mult = 10
 
-    def _scan_query():
+    def _scan_query(scan_mult):
         rep = spark.read.parquet(*([events_path] * scan_mult))
         from pyspark.sql import functions as F
 
@@ -168,14 +173,21 @@ def main() -> None:
             )
         )
 
-    _scan_query().collect()  # warm
-    scan_s = None
-    for _ in range(3):
-        t0 = time.time()
-        _scan_query().collect()
-        dt = time.time() - t0
-        scan_s = dt if scan_s is None else min(scan_s, dt)
-    meps = round(scan_mult * n_events / scan_s / 1e6, 3) if scan_s > 0 else -1
+    def _scan_meps(scan_mult, runs=3):
+        _scan_query(scan_mult).collect()  # warm
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            _scan_query(scan_mult).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return (
+            round(scan_mult * n_events / best / 1e6, 3) if best > 0 else -1,
+            round(best, 3),
+        )
+
+    meps_m10, _ = _scan_meps(10)
+    meps, scan_best_s = _scan_meps(40)
 
     # --- streaming metrics vs BASELINE.md's 0.2 ms/event worked example ---
     # (a) end-to-end micro-batch replay at the reference's default trigger
@@ -243,6 +255,9 @@ def main() -> None:
         "n_queries": len(timings),
         "events_rows": n_events,
         "hub_scan_meps": meps,
+        "hub_scan_mult": 40,
+        "hub_scan_best_s": scan_best_s,
+        "hub_scan_meps_m10": meps_m10,
         "stream_events_per_sec": stream_eps,
         "stream_ms_per_event": ms_per_event,
         "stream_batches": n_batches,

@@ -322,9 +322,17 @@ def _semdedup_pair_fn(id_col, vec_col, tau_e6):
     return fn
 
 
+# target rows per cluster for semdedup's auto-k: equals the sf0.1
+# embedding count (2000) / KMEANS_K, so every oracle-verified scale
+# (sf0.001/0.01/0.1) resolves to exactly k = KMEANS_K and the static
+# SQL oracle stays byte-exact there, while larger corpora grow k
+# proportionally and the per-cluster quadratic screen stays flat
+SEMDEDUP_TARGET_CLUSTER = 250
+
+
 def semdedup(
     df: DataFrame,
-    k: int = KMEANS_K,
+    k: int | None = None,
     iters: int = KMEANS_ITERS,
     tau_e6: int = SEMDEDUP_TAU_E6,
     id_col: str = "vec_id",
@@ -340,7 +348,15 @@ def semdedup(
 
     Shape: one zero-shuffle assignment pass (vectors ride through),
     one shuffle on cluster_id, then per-cluster quadratic screening —
-    the work SemDeDup bounds by choosing k ~ n/1000."""
+    the work SemDeDup bounds by choosing k ~ n/cluster_size. A FIXED
+    k breaks that contract as the corpus grows (cluster size — and
+    the O(size^2) screen — scales with n: measured 45.8x wall at 30x
+    data, round 8), so the default ``k=None`` derives
+    ``k = max(KMEANS_K, ceil(n / SEMDEDUP_TARGET_CLUSTER))`` from one
+    metadata-cheap count; pass an explicit ``k`` to pin it."""
+    if k is None:
+        n = df.count()
+        k = max(KMEANS_K, -(-n // SEMDEDUP_TARGET_CLUSTER))
     cents = kmeans_centroids(df, k, iters, id_col, vec_col)
     assigned = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         _final_assign_fn(cents, id_col, vec_col, with_vec=True),
