@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import re
-import tempfile
+from spark_eventhubs_spark import workdirs
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,7 +54,7 @@ def ensure_bucketed(
     # catalog check above short-circuits, and a fixed shared path
     # would let two concurrent sessions overwrite files the other's
     # registered tables are still reading
-    location = tempfile.mkdtemp(prefix=f"seh_bucketed_{tag}_")
+    location = workdirs.scratch_dir(f"seh_bucketed_{tag}_")
     return materialize_bucketed(
         spark,
         sf_dir,
@@ -126,7 +126,7 @@ def ensure_copurchase_edges(
     # pass an explicit location; default is a fresh tempdir like
     # ensure_bucketed
     if location is None:
-        location = tempfile.mkdtemp(prefix=f"seh_bucketed_{tbl}_")
+        location = workdirs.scratch_dir(f"seh_bucketed_{tbl}_")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (

@@ -26,7 +26,7 @@ The ingest is idempotent per (session, source path) like
 from __future__ import annotations
 
 import os
-import tempfile
+from spark_eventhubs_spark import workdirs
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -160,7 +160,7 @@ def ensure_zordered(
     path = _ZCACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    location = tempfile.mkdtemp(prefix="seh_zorder_")
+    location = workdirs.scratch_dir("seh_zorder_")
     materialize_zordered(spark, sf_dir, location, n_files)
     _ZCACHE[key] = location
     return location
@@ -312,7 +312,7 @@ def ensure_type_partitioned(spark: SparkSession, sf_dir: str):
     paths = _PCACHE.get(key)
     if paths is not None and os.path.isdir(paths[0]):
         return paths
-    location = tempfile.mkdtemp(prefix="seh_typed_")
+    location = workdirs.scratch_dir("seh_typed_")
     ev_path = os.path.join(location, "events")
     dim_path = os.path.join(location, "dim")
     spark.read.parquet(f"{sf_dir}/events.parquet").write.partitionBy(

@@ -2558,7 +2558,6 @@ def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     registration for the streaming entries (same ingest-once contract
     as bucketing.ensure_bucketed)."""
     import os as _os
-    import tempfile as _tf
 
     from spark_eventhubs_spark.sources.datasource import (
         materialize_hub,
@@ -2566,7 +2565,9 @@ def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def _build():
-        d = _os.path.join(_tf.mkdtemp(prefix="seh_streamhub_"), "events")
+        from spark_eventhubs_spark import workdirs as _wd
+
+        d = _os.path.join(_wd.scratch_dir("seh_streamhub_"), "events")
         materialize_hub(spark, sf_dir, d)
         register_eventhubs(spark)
         # Data properties consumed by drain-mode decisions are computed
@@ -2611,8 +2612,13 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
     fixes its state-store partition count from shuffle.partitions at
     query start, and 32 near-empty state tasks per micro-batch is pure
     scheduling overhead at catalog data sizes (state scales by config,
-    not code, on a real cluster). Restored after the drain."""
-    import tempfile as _tf
+    not code, on a real cluster). Restored after the drain.
+
+    The checkpoint is a tracked scratch dir, released once the drain's
+    query stops: a memory-sink drain under a fresh numbered sink name
+    never restarts from its checkpoint, so keeping it leaks one
+    directory per drain (workdirs module)."""
+    from spark_eventhubs_spark import workdirs
 
     spark = df.sparkSession
     # drop sink tables left by PRIOR invocations of the same entry
@@ -2625,12 +2631,13 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
             spark.catalog.dropTempView(t.name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ck = workdirs.scratch_dir("seh_ckpt_")
     try:
         writer = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode or ("update" if not available_now else "append"))
-            .option("checkpointLocation", _tf.mkdtemp(prefix="seh_ckpt_"))
+            .option("checkpointLocation", ck)
         )
         if available_now:
             q = writer.trigger(availableNow=True).start()
@@ -2676,6 +2683,9 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # q.stop() has run on every exit path (success and the timeout
+        # raises above), so the checkpoint is dead weight either way
+        workdirs.release(ck)
 
 
 def _rate_limited_hub_stream(
@@ -2968,7 +2978,6 @@ def _sessionize_hub_dir(spark: SparkSession, sf_dir: str) -> str:
     event mid-run (see stream_sessionize) — the shared hub the other
     twins read must stay byte-identical to the oracle's event set."""
     import os as _os
-    import tempfile as _tf
 
     from spark_eventhubs_spark.sources.datasource import (
         materialize_hub,
@@ -2976,7 +2985,9 @@ def _sessionize_hub_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def _build():
-        d = _os.path.join(_tf.mkdtemp(prefix="seh_sesshub_"), "events")
+        from spark_eventhubs_spark import workdirs as _wd
+
+        d = _os.path.join(_wd.scratch_dir("seh_sesshub_"), "events")
         materialize_hub(spark, sf_dir, d)
         register_eventhubs(spark)
         return d
@@ -3047,17 +3058,18 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_str = f"{_SESSION_GAP_US // 60_000_000} minutes"
     sess = streaming_sessionize(sdf, gap=gap_str, delay=f"{span_h} hours")
 
-    import tempfile as _tf
+    from spark_eventhubs_spark import workdirs as _wd
 
     spark_sess = spark
     prev = spark_sess.conf.get("spark.sql.shuffle.partitions")
     spark_sess.conf.set("spark.sql.shuffle.partitions", "8")
+    ck = _wd.scratch_dir("seh_ckpt_")
     try:
         q = (
             sess.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", _tf.mkdtemp(prefix="seh_ckpt_"))
+            .option("checkpointLocation", ck)
             .trigger(processingTime="50 milliseconds")
             .start()
         )
@@ -3085,6 +3097,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         spark_sess.conf.set("spark.sql.shuffle.partitions", prev)
+        _wd.release(ck)
     return spark.sql(
         f"""SELECT user_id AS user_id_str,
                    unix_micros(session_start) AS start_us,
