@@ -310,7 +310,10 @@ def _asof_bucket_update(
     keep = last_click.notna()
     state.update(
         (
-            [str(u) for u in first_user[keep]],
+            # NaN-safe like _scd2_bucket_update: a null user (event with
+            # no user_id property) must round-trip as None, not the
+            # string 'nan', or its carry is lost across triggers
+            [None if pd.isna(u) else str(u) for u in first_user[keep]],
             [int(v) for v in last_click[keep]],
         )
     )

@@ -709,6 +709,87 @@ def test_streaming_scd2_bucketed_equals_per_user_path(spark, hub_dir, tmp_path):
     assert outs["bucketed"] == outs["peruser"] and outs["bucketed"]
 
 
+def test_streaming_asof_null_user_carry_across_triggers(spark, tmp_path):
+    """A NULL user (event whose properties map has no user_id key) must
+    carry its click across micro-batch boundaries in BOTH state
+    layouts. Regression: the bucketed path round-tripped the carry
+    through ``str(nan)``, so the literal string 'nan' — not None — came
+    back from the state store and the null user's purchase in a later
+    trigger lost its click. The per-user path keys the state on the
+    None group and was always correct."""
+    from spark_eventhubs_spark.streaming.stateful import streaming_asof_join
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    hub = str(tmp_path / "nullhub")
+    t = [1_700_000_000_000_000 + i * 60_000_000 for i in range(4)]
+    rows = [
+        # (seq, enq_us, event_type, user or None)
+        (0, t[0], "click", None),
+        (1, t[1], "click", "7"),
+        (2, t[2], "purchase", None),
+        (3, t[3], "purchase", "7"),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, enq_us long, etype string, uid string"
+    ).select(
+        F.col("seq").cast("string").cast("binary").alias("body"),
+        F.lit("0").alias("partition"),
+        F.col("seq").cast("string").alias("offset"),
+        F.col("seq").alias("sequenceNumber"),
+        F.timestamp_micros("enq_us").alias("enqueuedTime"),
+        F.lit(None).cast("string").alias("publisher"),
+        F.lit(None).cast("string").alias("partitionKey"),
+        F.map_filter(
+            F.create_map(
+                F.lit("event_type"), F.col("etype"),
+                F.lit("user_id"), F.col("uid"),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("properties"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("systemProperties"),
+    )
+    df.coalesce(1).sortWithinPartitions("sequenceNumber").write.mode(
+        "overwrite"
+    ).partitionBy("partition").parquet(hub)
+    register_eventhubs(spark)
+
+    want = sorted(
+        [(None, t[2], t[0]), ("7", t[3], t[1])],
+        key=lambda r: (r[0] is not None, r[0]),
+    )
+    for tag, nb in (("peruser", None), ("bucketed", 2)):
+        sdf = (
+            spark.readStream.format("eventhubs")
+            .option("path", hub)
+            .option("maxEventsPerTrigger", "2")  # clicks then purchases
+            .option("eventhubs.consumerGroup", f"asof_null_{tag}")
+            .load()
+        )
+        q = (
+            streaming_asof_join(sdf, n_buckets=nb)
+            .writeStream.format("memory")
+            .queryName(f"asof_null_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"n_{tag}"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            (
+                (r["user_id"], r["purchase_us"], r["last_click_us"])
+                for r in spark.sql(f"SELECT * FROM asof_null_{tag}").collect()
+            ),
+            key=lambda r: (r[0] is not None, r[0]),
+        )
+        assert got == want, f"{tag}: {got}"
+
+
 def test_streaming_asof_bucketed_equals_per_user_path(spark, hub_dir, tmp_path):
     """Bucketed as-of (hash(user)%B + vectorized forward-fill) must
     emit EXACTLY the per-user path's rows on the same multi-trigger
