@@ -37,14 +37,9 @@ def main() -> None:
     # alone (round-7 verdict item 3): a large sync_wait_s or dirty_kb
     # means the bench started on a loaded host and the throughput
     # figures carry writeback contention no code change explains.
-    t_sync = time.time()
-    os.sync()
-    sync_wait_s = round(time.time() - t_sync, 3)
-    try:
-        with open("/proc/loadavg") as fh:
-            host_load_1m = float(fh.read().split()[0])
-    except OSError:
-        host_load_1m = -1.0
+    # read Dirty: BEFORE the sync — it is the pre-sync writeback debt
+    # this field exists to capture (after os.sync() it is ~0 by
+    # construction and the record would never show the contention)
     try:
         with open("/proc/meminfo") as fh:
             dirty_kb = next(
@@ -54,6 +49,14 @@ def main() -> None:
             )
     except (OSError, StopIteration):
         dirty_kb = -1
+    t_sync = time.time()
+    os.sync()
+    sync_wait_s = round(time.time() - t_sync, 3)
+    try:
+        with open("/proc/loadavg") as fh:
+            host_load_1m = float(fh.read().split()[0])
+    except OSError:
+        host_load_1m = -1.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0

@@ -26,6 +26,31 @@ DEFAULT_BUCKETS = 8
 
 _FACT_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
+# (applicationId, table_name) -> scratch location backing the table.
+# The ensure_* idempotency checks validate the DIRECTORY, not just the
+# catalog entry: a mid-process workdirs.sweep() reclaims scratch trees
+# while the catalog still lists the table, and reusing it would
+# silently return empty scans — re-materializing at a fresh location
+# self-heals instead (same pattern as layout._ZCACHE).
+_TABLE_DIRS: dict = {}
+
+
+def _table_alive(spark: SparkSession, tbl: str) -> bool:
+    if not spark.catalog.tableExists(tbl):
+        return False
+    loc = _TABLE_DIRS.get((spark.sparkContext.applicationId, tbl))
+    return loc is not None and os.path.isdir(loc)
+
+
+def _drop_stale_plans(spark: SparkSession, tables) -> None:
+    """Before re-materializing over a swept table, drop the session's
+    memoized DataFrame plans: a cached plan has already resolved the
+    old table's file listing and would keep scanning deleted files."""
+    if any(spark.catalog.tableExists(t) for t in tables):
+        from spark_eventhubs_spark.plans.hubview import clear_cached_plans
+
+        clear_cached_plans(spark)
+
 
 def ensure_bucketed(
     spark: SparkSession, sf_dir: str, n_buckets: int = DEFAULT_BUCKETS
@@ -48,8 +73,9 @@ def ensure_bucketed(
     base = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(abspath))
     tag = f"{base}_{fp}_b{n_buckets}"
     out = {name: f"bkt_{tag}_{name}" for name in _FACT_KEYS}
-    if all(spark.catalog.tableExists(t) for t in out.values()):
+    if all(_table_alive(spark, t) for t in out.values()):
         return out
+    _drop_stale_plans(spark, out.values())
     # a FRESH directory per materialization: within a session the
     # catalog check above short-circuits, and a fixed shared path
     # would let two concurrent sessions overwrite files the other's
@@ -90,6 +116,7 @@ def materialize_bucketed(
             .mode("overwrite")
             .saveAsTable(tbl)
         )
+        _TABLE_DIRS[(spark.sparkContext.applicationId, tbl)] = location
         out[name] = tbl
     return out
 
@@ -119,8 +146,9 @@ def ensure_copurchase_edges(
     fp = hashlib.md5(abspath.encode()).hexdigest()[:8]
     base = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(abspath))
     tbl = f"bkt_{base}_{fp}_b{n_buckets}_copurchase_edges"
-    if spark.catalog.tableExists(tbl):
+    if _table_alive(spark, tbl):
         return tbl
+    _drop_stale_plans(spark, [tbl])
     # callers that manage their own workdir (e.g. the step-up sweep,
     # which must not leak one edge tree per scale level into /tmp)
     # pass an explicit location; default is a fresh tempdir like
@@ -138,6 +166,7 @@ def ensure_copurchase_edges(
         .mode("overwrite")
         .saveAsTable(tbl)
     )
+    _TABLE_DIRS[(spark.sparkContext.applicationId, tbl)] = location
     return tbl
 
 

@@ -37,6 +37,7 @@ from spark_eventhubs_spark.operators import similarity as S
 from spark_eventhubs_spark.operators import text as T
 from spark_eventhubs_spark.plans.hubview import (
     cache_dataframe,
+    clear_cached_plans,
     configure_session,
     load_hub_flat,
     oracle_hub_cte,
@@ -2553,6 +2554,23 @@ import itertools as _it
 _STREAM_RUNS = _it.count()
 
 
+def _validated_scratch_memo(spark: SparkSession, key: tuple, build) -> str:
+    """Session-memoized scratch PATH that survives a mid-process
+    ``workdirs.sweep()``: if the memoized directory no longer exists
+    (the sweep reclaimed it under a still-live session), drop this
+    session's entire plan-memo — any cached DataFrame may embed the
+    dead path — and rebuild at a fresh location. Without the
+    re-validation the memo keeps returning the deleted path and the
+    next streaming entry silently drains zero rows."""
+    import os as _os
+
+    d = cache_dataframe(spark, key, build)
+    if not _os.path.isdir(d):
+        clear_cached_plans(spark)
+        d = cache_dataframe(spark, key, build)
+    return d
+
+
 def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached one-time hub materialization + datasource
     registration for the streaming entries (same ingest-once contract
@@ -2576,7 +2594,7 @@ def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         _hub_has_side_ties(spark, sf_dir)
         return d
 
-    return cache_dataframe(spark, ("hubstream_dir", sf_dir), _build)
+    return _validated_scratch_memo(spark, ("hubstream_dir", sf_dir), _build)
 
 
 def _hub_has_side_ties(spark: SparkSession, sf_dir: str) -> bool:
@@ -2992,7 +3010,7 @@ def _sessionize_hub_dir(spark: SparkSession, sf_dir: str) -> str:
         register_eventhubs(spark)
         return d
 
-    return cache_dataframe(spark, ("sesshub_dir", sf_dir), _build)
+    return _validated_scratch_memo(spark, ("sesshub_dir", sf_dir), _build)
 
 
 @register(

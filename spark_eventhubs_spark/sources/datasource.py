@@ -256,15 +256,21 @@ def _seq_at_time(hub_dir: str, pid: int, t_us: int, latest: int) -> int:
     t_scalar = pa.scalar(t_us, pa.timestamp("us", tz="UTC"))
     best: Optional[int] = None
     for f in _parquet_files(d):
-        seq_min = {
-            i: int(mn)
-            for i, n, mn, _ in _rg_stats(f, "sequenceNumber")
-            if n and mn is not None
-        }
+        # seqNo footer stats are fetched lazily, on the first row group
+        # that passes the enqueuedTime filter: a past-end probe (the
+        # common latest-position path) then touches only enqueuedTime
+        # footers and allocates no sequenceNumber cache slots
+        seq_min: Optional[Dict[int, int]] = None
         pf = None
         for i, n, mn, mx in _rg_stats(f, "enqueuedTime"):
             if n == 0 or mx is None or _stat_us(mx) < t_us:
                 continue
+            if seq_min is None:
+                seq_min = {
+                    i2: int(mn2)
+                    for i2, n2, mn2, _ in _rg_stats(f, "sequenceNumber")
+                    if n2 and mn2 is not None
+                }
             smn = seq_min.get(i)
             if best is not None and smn is not None and smn >= best:
                 continue

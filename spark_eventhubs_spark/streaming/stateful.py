@@ -502,11 +502,16 @@ def _scd2_update(
             ["enq_us", "sequenceNumber"], kind="mergesort"
         )
         for et, enq in zip(batch["event_type"], batch["enq_us"]):
-            if cur is None:
-                cur, vfrom, nrun = str(et), int(enq), 1
-            elif str(et) != cur:
+            # NULL event_type is a real run state (the bucketed kernel
+            # factorizes NA as its own code and emits NULL), so the
+            # no-open-run sentinel is vfrom — valid_from can never be
+            # None for a live run — not cur
+            etn = None if pd.isna(et) else str(et)
+            if vfrom is None:
+                cur, vfrom, nrun = etn, int(enq), 1
+            elif etn != cur:
                 out.append((user, cur, vfrom, int(enq), nrun))
-                cur, vfrom, nrun = str(et), int(enq), 1
+                cur, vfrom, nrun = etn, int(enq), 1
             else:
                 nrun += 1
     state.update((cur, vfrom, nrun))

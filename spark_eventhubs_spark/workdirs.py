@@ -70,7 +70,12 @@ def sweep() -> list[str]:
 
     Runs via ``atexit``; callable directly (tests, long-lived drivers
     that recycle SparkSessions and want the artifacts of the previous
-    session gone without waiting for process exit).
+    session gone without waiting for process exit). Mid-process sweeps
+    are safe because every consumer of a tracked tree re-validates the
+    directory before reuse and rebuilds at a fresh location
+    (queries._validated_scratch_memo, bucketing._table_alive,
+    layout's isdir-checked caches) — pinned by
+    tests/test_workdirs.py::test_sweep_mid_session_self_heals.
     """
     with _LOCK:
         paths = list(_TRACKED)

@@ -159,9 +159,12 @@ def _scd2_frame(rows):
     )
 
 
-@given(batches=_streams(st.sampled_from(["x", "y", "z"])))
+@given(batches=_streams(st.sampled_from(["x", "y", None])))
 @settings(max_examples=150, deadline=None)
 def test_scd2_bucketed_kernel_equals_per_user(batches):
+    """None in the type domain: an event with no event_type property is
+    a real run state (emitted as NULL by both kernels), not a sentinel
+    — regression for the per-user kernel's old ``cur is None`` check."""
     per = _per_key_run(_scd2_update, batches, _scd2_frame, lambda r: r[0])
     buck = _bucket_run(_scd2_bucket_update, batches, _scd2_frame)
     cols = (

@@ -71,8 +71,51 @@ def test_streaming_drain_leaves_no_checkpoint(spark, sf_dir):
     # __wrapped__ bypasses the per-session plan memo so the drain (and
     # its checkpoint allocation) really runs even if another test
     # already invoked this entry
-    queries._QUERIES["stream_running_counters"].__wrapped__(
+    rows = queries._QUERIES["stream_running_counters"].__wrapped__(
         spark, sf_dir
     ).collect()
+    # the drain must have processed REAL events: an earlier sweep test
+    # may have reclaimed the session-cached hub dir, and a drain over a
+    # deleted source would pass the checkpoint assertion vacuously
+    assert rows
     after = set(glob.glob(pattern))
     assert after - before == set()
+
+
+def test_sweep_mid_session_self_heals(spark, sf_dir):
+    """A mid-process ``sweep()`` (the documented long-lived-driver
+    call) reclaims scratch trees that live session memos still point
+    at. The memos must re-validate and rebuild, not silently return
+    empty results: before the fix, the second invocation below drained
+    0 rows from the deleted hub dir with no error."""
+    from spark_eventhubs_spark import queries
+
+    fn = queries._QUERIES["stream_running_counters"].__wrapped__
+    first = sorted(
+        (r["user_id"], r["n_events"]) for r in fn(spark, sf_dir).collect()
+    )
+    assert first
+    hub_before = queries._hub_stream_dir(spark, sf_dir)
+    workdirs.sweep()
+    assert not os.path.exists(hub_before)
+    second = sorted(
+        (r["user_id"], r["n_events"]) for r in fn(spark, sf_dir).collect()
+    )
+    assert second == first
+    assert queries._hub_stream_dir(spark, sf_dir) != hub_before
+
+
+def test_sweep_mid_session_rebuilds_bucketed_tables(spark, sf_dir):
+    """Same self-heal contract for the bucketed catalog tables: after a
+    sweep deletes their backing files, ensure_bucketed must detect the
+    dead directory (the catalog still lists the table) and
+    re-materialize instead of returning a table over deleted files."""
+    from spark_eventhubs_spark import bucketing
+
+    tabs = bucketing.ensure_bucketed(spark, sf_dir)
+    n1 = spark.table(tabs["lineitem"]).count()
+    assert n1 > 0
+    workdirs.sweep()
+    tabs2 = bucketing.ensure_bucketed(spark, sf_dir)
+    n2 = spark.table(tabs2["lineitem"]).count()
+    assert n2 == n1
