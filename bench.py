@@ -160,8 +160,14 @@ def main() -> None:
     # noise, not code. The headline figure now uses 40x; the 10x
     # figure is kept as hub_scan_meps_m10 for cross-round continuity,
     # and both replication factors + best wall go into the record.
+    # Everything below is supplementary throughput metrics. A failure
+    # here (e.g. heap exhaustion at a very large SPARK_GRAFT_SF_DIR)
+    # must not discard the catalog timings already measured — the
+    # record prints with the failed metrics as -1 and the error named
+    # under "metric_errors".
+    metric_errors: dict[str, str] = {}
     events_path = f"{sf_dir}/events.parquet"
-    n_events = spark.read.parquet(events_path).count()
+    n_events = -1
 
     def _scan_query(scan_mult):
         rep = spark.read.parquet(*([events_path] * scan_mult))
@@ -189,8 +195,13 @@ def main() -> None:
             round(best, 3),
         )
 
-    meps_m10, _ = _scan_meps(10)
-    meps, scan_best_s = _scan_meps(40)
+    meps = meps_m10 = scan_best_s = -1
+    try:
+        n_events = spark.read.parquet(events_path).count()
+        meps_m10, _ = _scan_meps(10)
+        meps, scan_best_s = _scan_meps(40)
+    except Exception as e:
+        metric_errors["hub_scan"] = str(e).split("\n")[0][:200]
 
     # --- streaming metrics vs BASELINE.md's 0.2 ms/event worked example ---
     # (a) end-to-end micro-batch replay at the reference's default trigger
@@ -210,6 +221,7 @@ def main() -> None:
     from spark_eventhubs_spark.streaming.source import EventHubsSource, MicroBatchRunner
 
     work = tempfile.mkdtemp(prefix="bench_hub_")
+    stream_eps = ms_per_event = n_batches = planner_ms = n_plans = -1
     try:
         hub_dir = materialize_hub(spark, sf_dir, f"{work}/hublog")
         hub = SimulatedEventHubs(spark, name="events", hub_log_dir=hub_dir)
@@ -222,6 +234,8 @@ def main() -> None:
         t0 = time.time()
         n_batches = runner.run()
         stream_s = time.time() - t0
+        if n_events <= 0:  # the scan section failed before counting
+            n_events = spark.read.parquet(events_path).count()
         stream_eps = round(n_events / stream_s) if stream_s > 0 else -1
         ms_per_event = round(1000.0 * stream_s / n_events, 4)
         opts = {"path": hub_dir, "eventhubs.maxeventspertrigger": "4000"}
@@ -244,6 +258,8 @@ def main() -> None:
             n_plans += 1
         plan_s = time.time() - t0
         planner_ms = round(1000.0 * plan_s / max(n_plans, 1), 3)
+    except Exception as e:
+        metric_errors["stream_replay"] = str(e).split("\n")[0][:200]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -279,7 +295,12 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
-    spark.stop()
+    if metric_errors:
+        out["metric_errors"] = metric_errors
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(json.dumps(out))
 
 

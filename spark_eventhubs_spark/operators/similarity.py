@@ -460,16 +460,42 @@ ORDER BY score_e6 DESC, x.vec_id ASC
 LIMIT {k}"""
 
 
+# target rows per LSH bucket for pairwise_above_threshold's auto
+# plane count: the within-bucket screen is O(load^2) per bucket, so a
+# FIXED signature width breaks linearity as the corpus grows (fixed 8
+# planes = 256 buckets: measured 136x wall at 100x data, round 8 —
+# same failure class as semdedup's fixed k). 8 keeps n_planes exactly
+# 8 at every oracle-verified sf (500 vecs at sf0.01, 2000 at sf0.1).
+PAIRWISE_TARGET_BUCKET = 8
+
+
+def auto_n_planes(n: int, target: int = PAIRWISE_TARGET_BUCKET) -> int:
+    """Smallest signature width holding expected bucket load <= target
+    (floor 8, the oracle-pinned width at the driver's check scales):
+    2^planes buckets ~ n/target."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(n, 1) / target)))
+
+
 def pairwise_above_threshold(
     df: DataFrame,
     threshold_e6: int = 950_000,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket by hyperplane signature, score
     within buckets only (equi-join), keep cosine >= threshold.
+
+    ``n_planes=None`` derives the signature width from one
+    metadata-cheap count via :func:`auto_n_planes`, holding the
+    expected bucket load — and therefore the O(load) candidate pairs
+    PER ROW — constant as the corpus grows; pass an explicit width to
+    pin it (the SQL oracle pins 8, which auto matches at every
+    oracle-verified sf). This is the 100 TB contract: bucket count is
+    what scales, bucket size is a constant.
 
     Each side's norm is computed ONCE per row before the join (narrow)
     instead of once per candidate pair — identical doubles, since
@@ -483,6 +509,8 @@ def pairwise_above_threshold(
     JVM equi-join on the bucket key."""
     import numpy as np
 
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     with_bucket = _bucket_frame(df, id_col, vec_col, dim, n_planes, with_norm=True)
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")

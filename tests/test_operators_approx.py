@@ -41,6 +41,41 @@ def test_pairwise_neardup_symmetric_ids(spark):
     assert all(r["vec_a"] < r["vec_b"] for r in pairs)
 
 
+def test_pairwise_auto_planes_matches_oracle_width_at_check_scales():
+    """The auto-derived signature width must be EXACTLY 8 (the SQL
+    oracle's pinned width) at every corpus size the driver's
+    correctness gate runs — 500 vectors at sf0.001/sf0.01, 2000 at
+    sf0.1 — and grow for larger corpora so the O(load^2) within-bucket
+    screen stays bounded (fixed 8 planes measured 136x wall at 100x
+    data, round 8)."""
+    assert S.auto_n_planes(500) == 8
+    assert S.auto_n_planes(2000) == 8
+    assert S.auto_n_planes(0) == 8
+    # growth: expected load n / 2^planes stays <= the target
+    for n in (20_000, 200_000, 10_000_000):
+        p = S.auto_n_planes(n)
+        assert n / (1 << p) <= S.PAIRWISE_TARGET_BUCKET
+        assert p >= 8
+
+
+def test_pairwise_auto_equals_pinned_eight_at_oracle_scale(spark):
+    """At the oracle-checked corpus size the auto path must emit
+    byte-identical pairs to the pinned n_planes=8 the SQL oracle
+    hardcodes."""
+    emb = _embeddings(spark)
+    auto = sorted(
+        (r["vec_a"], r["vec_b"], r["score_e6"])
+        for r in S.pairwise_above_threshold(emb, threshold_e6=250_000).collect()
+    )
+    pinned = sorted(
+        (r["vec_a"], r["vec_b"], r["score_e6"])
+        for r in S.pairwise_above_threshold(
+            emb, threshold_e6=250_000, n_planes=8
+        ).collect()
+    )
+    assert auto == pinned and auto
+
+
 def test_approx_count_distinct_error(spark):
     hub = load_hub_flat(spark, SF_DIR)
     exact = {
