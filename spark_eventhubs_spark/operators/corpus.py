@@ -271,12 +271,18 @@ def decontaminate(docs: DataFrame, bench_mod: int = DECONTAM_BENCH_MOD) -> DataF
 
     Scale: fingerprints are narrow per-row math; the benchmark
     fingerprint set is tiny relative to the corpus (it is an eval set)
-    and is broadcast — the corpus is never shuffled, only scanned."""
-    fps = winnowing_fingerprints(docs)
+    and is broadcast — the corpus is never shuffled, only scanned.
+    Winnowing is per-document, so each side fingerprints only ITS
+    doc slice (the doc_id filter sits below the kernel): the corpus is
+    fingerprinted exactly once across the two sides, where filtering a
+    shared full-corpus frame would run the kernel once for the
+    broadcast build and again for the probe scan."""
     is_bench = F.col("doc_id") % bench_mod == 0
-    bench_fps = fps.where(is_bench).select("fp").distinct()
+    bench_fps = (
+        winnowing_fingerprints(docs.where(is_bench)).select("fp").distinct()
+    )
     return (
-        fps.where(~is_bench)
+        winnowing_fingerprints(docs.where(~is_bench))
         .join(F.broadcast(bench_fps), "fp")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_shared_fps"))

@@ -332,7 +332,13 @@ def lsh_candidate_pairs(
     or when lineage-backed fault tolerance matters more than the 2x
     scan (e.g. very long 100 TB runs on preemptible nodes).
     """
-    assert num_hashes % band_size == 0
+    if num_hashes % band_size != 0:
+        # a bare assert is stripped under -O, silently dropping the
+        # tail signature columns from banding (recall degrades quietly)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of "
+            f"band_size ({band_size})"
+        )
     sig = minhash_signatures(df, text_col, num_hashes, shingle_k, fast)
     n_bands = num_hashes // band_size
     bands = []
@@ -397,6 +403,7 @@ def jaccard_pairs(
     pairs: DataFrame,
     text_col: str = "text",
     shingle_k: int = DEFAULT_SHINGLE,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, in basis points.
     ``pairs`` must have (doc_a, doc_b). Joins are equi-joins on doc id;
@@ -443,6 +450,17 @@ def jaccard_pairs(
         .select("doc_id", text_col)
         .mapInPandas(_sets_fn, "doc_id long, hs array<long>")
     )
+    if materialize:
+        # checkpointed once: it feeds two joins with DIFFERENT keys
+        # (doc_a / doc_b), whose exchanges cannot be reused — without
+        # this the semi-join + shingle-hash kernel runs twice. Not
+        # _checkpoint_cached: sets_df depends on the candidate pairs,
+        # not just the corpus, so it is per-call, not an ingest
+        # artifact. Skipped entirely (not merely made lazy) under
+        # materialize=False: checkpointing an AQE plan pre-runs its
+        # upstream shuffle stages at construction, which would break
+        # the explain-only no-job contract.
+        sets_df = sets_df.localCheckpoint(eager=True)
     return (
         pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
         .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
@@ -488,7 +506,7 @@ def near_dup_pairs(
             cands, df, "dedup_cands",
             (text_col, num_hashes, band_size, shingle_k, fast),
         )
-    return jaccard_pairs(df, cands, text_col, shingle_k).where(
+    return jaccard_pairs(df, cands, text_col, shingle_k, materialize).where(
         F.col("jaccard_bp") >= threshold_bp
     ).select("doc_a", "doc_b", "jaccard_bp")
 
@@ -775,7 +793,14 @@ def duplicated_span_profile(
     all-pairs stage. The ratio is exact integer math (10000*dup DIV n)
     so both engines agree bit-for-bit.
     """
-    sh = exploded_shingles(df, text_col, k)
+    # the exploded shingle frame is an ingest artifact (pure function
+    # of corpus + k) consumed TWICE here — the freq aggregation
+    # exchanges partial aggregates while the join side shuffles raw
+    # rows, so no exchange reuse is possible and the tokenize+explode
+    # kernel would run twice per query without the materialization
+    sh = _checkpoint_cached(
+        exploded_shingles(df, text_col, k), df, "span_shingles", (k, text_col)
+    )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return (
         sh.join(freq, "shingle")

@@ -231,14 +231,36 @@ def lsh_ann_topk(
     Approximate by construction — recall measured in tests, not
     oracle-checked (the catalog entry derives an exact oracle from the
     deterministic plane weights).
+
+    The query's vector is fetched with a pushed-down id filter and its
+    bucket computed DRIVER-side with the same :func:`_seq_dot_np`
+    fold — the previous form filtered the bucketed frame, which ran
+    the corpus-wide bucket kernel a second time just to produce the
+    one query row.
     """
-    with_bucket = _bucket_frame(df, id_col, vec_col, dim, n_planes)
-    q = with_bucket.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    import numpy as np
+
+    qrow = df.where(F.col(id_col) == query_vec_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(
+            f"lsh_ann_topk: query vector {id_col}={query_vec_id} not found"
+        )
+    x = np.asarray(qrow[0], dtype=np.float64)
+    qbucket = 0
+    for p in range(n_planes):
+        w = np.array(
+            [float(_plane_weight(p, i)) for i in range(dim)], dtype=np.float64
+        )
+        if _seq_dot_np(x[None, :], w)[0] > 0:
+            qbucket |= 1 << p
+    qdf = df.sparkSession.createDataFrame(
+        [(list(qrow[0]),)], f"qvec array<float>"
     )
+    with_bucket = _bucket_frame(df, id_col, vec_col, dim, n_planes)
     return (
-        with_bucket.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        with_bucket.where(F.col("bucket") == qbucket)
         .where(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(qdf))
         .select(
             F.col(id_col),
             F.floor(cosine_col(F.col(vec_col), F.col("qvec"), dim) * 1e6).cast("long").alias("score_e6"),
@@ -248,25 +270,38 @@ def lsh_ann_topk(
     )
 
 
+def _oracle_bucket_expr(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    """Hyperplane-signature bucket of ``vec`` as ONE deterministic
+    scalar expression: each plane's projection is an ORDERED
+    left-to-right float64 fold (the :func:`oracle_cosine` pattern —
+    bit-parity with :func:`_seq_dot_np`), with the plane weights
+    inlined as literals from :func:`_plane_weight` — the same values
+    the oracle previously re-derived via MD5, but through a grouped
+    float SUM whose accumulation order DuckDB does not define (a
+    projection within rounding error of zero could flip sign, and
+    therefore bucket, nondeterministically)."""
+    planes = []
+    for p in range(n_planes):
+        w = "[" + ", ".join(str(_plane_weight(p, i)) for i in range(dim)) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * CAST(({w})[i] AS DOUBLE)))"
+        )
+        planes.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(planes) + ")"
+
+
 def oracle_pairwise_above_threshold(
     threshold_e6: int = 950_000, n_planes: int = 8, dim: int = 64
 ) -> str:
     """DuckDB twin of :func:`pairwise_above_threshold`: the hyperplane
-    weights are re-derived in SQL from the same md5 primitive, so the
-    bucket assignment — and therefore the exact candidate set — matches
-    the Spark plan."""
-    return f"""WITH w AS (
-  SELECT p, i,
-    CAST(('0x' || SUBSTRING(MD5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
-      % 2001 - 1000 AS wt
-  FROM range({n_planes}) t1(p), range({dim}) t2(i)
-), proj AS (
-  SELECT e.vec_id, w.p, SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS dot
-  FROM embeddings e, w
-  GROUP BY 1, 2
-), bkt AS (
-  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY 1
+    bucket is computed by :func:`_oracle_bucket_expr` — literal
+    :func:`_plane_weight` weights, ordered per-plane folds — so the
+    bucket assignment, and therefore the exact candidate set, matches
+    the Spark plan deterministically."""
+    return f"""WITH bkt AS (
+  SELECT vec_id, CAST({_oracle_bucket_expr("embedding", n_planes, dim)} AS BIGINT) AS bucket
+  FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   CAST(FLOOR({oracle_cosine("ea.embedding", "eb.embedding", dim)} * 1000000) AS BIGINT) AS score_e6
@@ -406,6 +441,12 @@ def ivf_ann_topk(
         (r for r in need if r["cid"] < n_cells), key=lambda r: r["cid"]
     )
     qvec = [float(x) for r in need if r["cid"] == query_vec_id for x in r["cvec"]]
+    if not qvec:
+        # without this the empty query surfaces later as an opaque
+        # numpy shape error inside the executor kernel
+        raise ValueError(
+            f"ivf_ann_topk: query vector {id_col}={query_vec_id} not found"
+        )
 
     def _dot_py(a, b):
         # sequential left-to-right fold, same op order as the oracle's
@@ -511,7 +552,17 @@ def pairwise_above_threshold(
 
     if n_planes is None:
         n_planes = auto_n_planes(df.count())
-    with_bucket = _bucket_frame(df, id_col, vec_col, dim, n_planes, with_norm=True)
+    from spark_eventhubs_spark.operators.dedup import _checkpoint_cached
+
+    # materialize the bucket+norm frame once: it feeds BOTH sides of
+    # the self-join, and when AQE broadcasts one side the broadcast
+    # subplan shares no exchange with the probe side — without this
+    # the corpus-wide projection kernel runs twice (the exact hazard
+    # dedup.lsh_candidate_pairs documents and fixes the same way)
+    with_bucket = _checkpoint_cached(
+        _bucket_frame(df, id_col, vec_col, dim, n_planes, with_norm=True),
+        df, "pairwise_buckets", (n_planes, dim, id_col, vec_col),
+    )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     cand = (
@@ -748,8 +799,13 @@ def ivf_ann_topk_refined(
         key=lambda t: t[0],
     )
     qvec = next(
-        [float(x) for x in r["cvec"]] for r in rows if r["cid"] == query_vec_id
+        ([float(x) for x in r["cvec"]] for r in rows if r["cid"] == query_vec_id),
+        None,
     )
+    if qvec is None:
+        raise ValueError(
+            f"ivf_ann_topk_refined: query vector {id_col}={query_vec_id} not found"
+        )
     cents = kmeans_refine_centroids(
         df, n_cells, iters, dim, id_col, vec_col, seed_cents=seeds
     )
@@ -780,21 +836,13 @@ def oracle_lsh_ann_topk(
     query_vec_id: int = 0, k: int = 10, n_planes: int = 8, dim: int = 64
 ) -> str:
     """DuckDB twin of :func:`lsh_ann_topk`: the hyperplane bucket
-    assignment is deterministic (md5-derived weights), so even the
-    "approximate" ANN is exactly reproducible — the approximation is in
-    WHICH vectors get scored, not in any randomness."""
-    return f"""WITH w AS (
-  SELECT p, i,
-    CAST(('0x' || SUBSTRING(MD5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
-      % 2001 - 1000 AS wt
-  FROM range({n_planes}) t1(p), range({dim}) t2(i)
-), proj AS (
-  SELECT e.vec_id, w.p, SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS dot
-  FROM embeddings e, w
-  GROUP BY 1, 2
-), bkt AS (
-  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY 1
+    assignment is deterministic (:func:`_oracle_bucket_expr` — literal
+    weights, ordered folds), so even the "approximate" ANN is exactly
+    reproducible — the approximation is in WHICH vectors get scored,
+    not in any randomness."""
+    return f"""WITH bkt AS (
+  SELECT vec_id, CAST({_oracle_bucket_expr("embedding", n_planes, dim)} AS BIGINT) AS bucket
+  FROM embeddings
 ), q AS (
   SELECT e.embedding AS qvec, b.bucket AS qbucket
   FROM embeddings e JOIN bkt b ON b.vec_id = e.vec_id
@@ -855,10 +903,14 @@ def ivf_build_index(
     returns bit-identical scores to the scan-time operator. Returns
     the codebook as [(cid, centroid)].
 
-    Scale: the write shuffles on cell_id only (repartition before
-    write keeps one file per cell per task wave); the codebook is C
-    rows. Rebuild = rerun; incremental append = assign + append into
-    the same partitioned layout.
+    Scale: the write shuffles on (cell_id, salt) — NOT cell_id alone —
+    via :func:`_cell_write_partitioned`: a bare repartition(cell_id)
+    would funnel the whole corpus through |cells| writer tasks (16
+    writers for 100 TB); the deterministic salt spreads each cell
+    across ~parallelism/|cells| writers while partitionBy still lays
+    rows out under their cell_id dir (several files per cell). The
+    codebook is C rows. Rebuild = rerun; incremental append = assign +
+    append into the same partitioned layout.
     """
     if refine_iters > 0:
         # function-level import: clustering imports this module.
@@ -1211,7 +1263,14 @@ def pq_topk_rerank(
         .collect()
     )
     seeds = sorted((r for r in rows if r["cid"] < n_centroids), key=lambda r: r["cid"])
-    qvec = next([float(x) for x in r["cvec"]] for r in rows if r["cid"] == query_vec_id)
+    qvec = next(
+        ([float(x) for x in r["cvec"]] for r in rows if r["cid"] == query_vec_id),
+        None,
+    )
+    if qvec is None:
+        raise ValueError(
+            f"pq_topk_rerank: query vector {id_col}={query_vec_id} not found"
+        )
     codebooks = pq_train(
         df, m, n_centroids, iters, dim, id_col, vec_col, seed_rows=seeds
     )
