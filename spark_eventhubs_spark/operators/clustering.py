@@ -234,17 +234,33 @@ def kmeans_assign(
 
 
 def _oracle_kmeans_cte(
-    k: int = KMEANS_K,
+    k: int | None = KMEANS_K,
     iters: int = KMEANS_ITERS,
     q_scale: int = KMEANS_Q,
     dim: int = DIM,
 ) -> str:
     """CTE chain computing the final assignment ``mfin(vec_id, cid)``
-    and centroids ``cfin(cid, cvec)``; composable into full oracles."""
+    and centroids ``cfin(cid, cvec)``; composable into full oracles.
+
+    ``k=None`` mirrors :func:`semdedup`'s auto-k IN LOCKSTEP at every
+    corpus size: the seed predicate derives
+    ``max(KMEANS_K, ceil(n / SEMDEDUP_TARGET_CLUSTER))`` from the same
+    ``COUNT(*)`` the engine counts — pure-integer ``(n + t-1) // t``,
+    so no float boundary can ever split the two sides. k appears
+    nowhere else in the CTE chain (Lloyd steps group by whatever cids
+    the seeds produced), which is what makes a scalar-subquery k
+    possible at all."""
     cos = oracle_cosine
+    k_expr = (
+        f"""(SELECT GREATEST({KMEANS_K},
+    (COUNT(*) + {SEMDEDUP_TARGET_CLUSTER - 1}) // {SEMDEDUP_TARGET_CLUSTER})
+   FROM embeddings)"""
+        if k is None
+        else str(k)
+    )
     parts = [f"""seeds AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM embeddings WHERE vec_id < {k}
+  FROM embeddings WHERE vec_id < {k_expr}
 ), qv AS (
   SELECT vec_id, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {q_scale}) AS BIGINT) AS q
   FROM embeddings, range(1, {dim + 1}) t(i)
@@ -355,7 +371,9 @@ def semdedup(
     ``k = max(KMEANS_K, ceil(n / SEMDEDUP_TARGET_CLUSTER))`` from one
     metadata-cheap count; pass an explicit ``k`` to pin it."""
     if k is None:
-        n = df.count()
+        from spark_eventhubs_spark.operators.dedup import _count_cached
+
+        n = _count_cached(df)
         k = max(KMEANS_K, -(-n // SEMDEDUP_TARGET_CLUSTER))
     cents = kmeans_centroids(df, k, iters, id_col, vec_col)
     assigned = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
@@ -370,9 +388,14 @@ def semdedup(
 
 
 def oracle_semdedup(
-    k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+    k: int | None = KMEANS_K, iters: int = KMEANS_ITERS,
     tau_e6: int = SEMDEDUP_TAU_E6, dim: int = DIM,
 ) -> str:
+    """DuckDB twin of :func:`semdedup`; pass ``k=None`` to mirror the
+    engine's auto-k from the same COUNT(*) (see
+    :func:`_oracle_kmeans_cte`) so both sides stay in lockstep at
+    every scale factor, not just the ones where auto resolves to
+    KMEANS_K."""
     cos = oracle_cosine("e1.embedding", "e2.embedding", dim)
     return (
         _oracle_kmeans_cte(k, iters, dim=dim)

@@ -84,6 +84,32 @@ def _checkpoint_cached(
     )
 
 
+_COUNT_MEMO: dict = {}
+
+
+def _count_cached(df: DataFrame) -> int:
+    """Memoized ``df.count()`` keyed by (applicationId, analyzed-plan
+    fingerprint) — the :func:`_checkpoint_cached` pattern applied to a
+    scalar. Auto-sizing operators (``auto_n_planes``, semdedup's
+    auto-k) need one corpus count per corpus, not one full scan per
+    invocation: catalog sources are plain parquet scans, so ``count()``
+    launches a real job every call without this. Keyed by applicationId
+    so a restarted session (tests spin several) never reads a stale
+    entry; catalog sources come from the memoized ``_table`` path, so
+    their analyzed-plan string is stable for the life of the session."""
+    import hashlib as _hl
+
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        _hl.md5(
+            df._jdf.queryExecution().analyzed().toString().encode()
+        ).hexdigest(),
+    )
+    if key not in _COUNT_MEMO:
+        _COUNT_MEMO[key] = df.count()
+    return _COUNT_MEMO[key]
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the cluster's core count before CPU-heavy
     per-row work: a small single-file input otherwise pins the whole

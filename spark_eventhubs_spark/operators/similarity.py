@@ -292,17 +292,41 @@ def _oracle_bucket_expr(vec: str, n_planes: int = 8, dim: int = 64) -> str:
 
 
 def oracle_pairwise_above_threshold(
-    threshold_e6: int = 950_000, n_planes: int = 8, dim: int = 64
+    threshold_e6: int = 950_000, n_planes: int | None = 8, dim: int = 64
 ) -> str:
     """DuckDB twin of :func:`pairwise_above_threshold`: the hyperplane
     bucket is computed by :func:`_oracle_bucket_expr` — literal
     :func:`_plane_weight` weights, ordered per-plane folds — so the
     bucket assignment, and therefore the exact candidate set, matches
-    the Spark plan deterministically."""
-    return f"""WITH bkt AS (
+    the Spark plan deterministically.
+
+    ``n_planes=None`` mirrors the engine's :func:`auto_n_planes`
+    IN LOCKSTEP at every corpus size: the SQL derives the width from
+    the same ``COUNT(*)`` the engine counts, computes the full
+    ``ORACLE_MAX_PLANES``-plane bucket once, and masks it to the low
+    ``planes`` bits with ``%`` — valid because plane p always
+    contributes exactly bit p (:func:`_plane_weight` depends only on
+    (p, i)), so the K-plane bucket IS the low-K-bit prefix of the
+    wide one. Without this, engine-auto vs oracle-pinned-8 diverge on
+    any corpus past target * 2^8 = 2048 vectors."""
+    if n_planes is None:
+        bkt = f"""WITH np AS (
+  SELECT GREATEST(8, CAST(CEIL(LOG2(GREATEST(
+    (COUNT(*) + {PAIRWISE_TARGET_BUCKET - 1}) // {PAIRWISE_TARGET_BUCKET}, 1
+  ))) AS BIGINT)) AS planes
+  FROM embeddings
+), bkt AS (
+  SELECT vec_id,
+    CAST({_oracle_bucket_expr("embedding", ORACLE_MAX_PLANES, dim)} AS BIGINT)
+      % (CAST(1 AS BIGINT) << np.planes) AS bucket
+  FROM embeddings, np
+)"""
+    else:
+        bkt = f"""WITH bkt AS (
   SELECT vec_id, CAST({_oracle_bucket_expr("embedding", n_planes, dim)} AS BIGINT) AS bucket
   FROM embeddings
-)
+)"""
+    return f"""{bkt}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   CAST(FLOOR({oracle_cosine("ea.embedding", "eb.embedding", dim)} * 1000000) AS BIGINT) AS score_e6
 FROM bkt a
@@ -510,13 +534,26 @@ LIMIT {k}"""
 PAIRWISE_TARGET_BUCKET = 8
 
 
+# widest signature the DYNAMIC oracle precomputes (masked down to the
+# auto width): 20 planes covers corpora to target * 2^20 ~ 8.4M
+# vectors — far past any sf the DuckDB twin could materialize anyway
+ORACLE_MAX_PLANES = 20
+
+
 def auto_n_planes(n: int, target: int = PAIRWISE_TARGET_BUCKET) -> int:
     """Smallest signature width holding expected bucket load <= target
     (floor 8, the oracle-pinned width at the driver's check scales):
-    2^planes buckets ~ n/target."""
-    import math
+    2^planes buckets ~ n/target.
 
-    return max(8, math.ceil(math.log2(max(n, 1) / target)))
+    Pure-integer form (``ceil(log2(ceil(n/target)))`` via bit_length —
+    identical values to the float original for every n >= 1) so the
+    engine side is float-free; the SQL twin's
+    ``CEIL(LOG2((COUNT(*) + t-1) // t))`` computes log2 of the SAME
+    integer, where ceil can only disagree within half an ulp of an
+    integer boundary — impossible below n ~ 2^45 (verified by sweep in
+    tests)."""
+    m = (max(n, 1) + target - 1) // target
+    return max(8, (m - 1).bit_length())
 
 
 def pairwise_above_threshold(
@@ -551,7 +588,9 @@ def pairwise_above_threshold(
     import numpy as np
 
     if n_planes is None:
-        n_planes = auto_n_planes(df.count())
+        from spark_eventhubs_spark.operators.dedup import _count_cached
+
+        n_planes = auto_n_planes(_count_cached(df))
     from spark_eventhubs_spark.operators.dedup import _checkpoint_cached
 
     # materialize the bucket+norm frame once: it feeds BOTH sides of

@@ -986,7 +986,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold 0.25: the synthetic embeddings have no true near-dups (max
 # pairwise cosine ~0.51), so a production-like 0.95 cut would make the
 # check vacuous; 0.25 exercises bucketing + scoring + filter on real rows
-@register("embed_neardup_pairs", S.oracle_pairwise_above_threshold(threshold_e6=250_000))
+@register(
+    "embed_neardup_pairs",
+    S.oracle_pairwise_above_threshold(threshold_e6=250_000, n_planes=None),
+)
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_above_threshold(
         _table(spark, sf_dir, "embeddings"), threshold_e6=250_000
@@ -2657,52 +2660,60 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
             .outputMode(mode or ("update" if not available_now else "append"))
             .option("checkpointLocation", ck)
         )
+        # q.stop() must run on EVERY exit path — including
+        # awaitTermination raising StreamingQueryException or the debug
+        # loop throwing — before the outer finally releases (rmtrees)
+        # the checkpoint out from under a still-registered query; stop
+        # on an already-terminated query is a no-op, so the inner
+        # finally is unconditional.
         if available_now:
             q = writer.trigger(availableNow=True).start()
-            if not q.awaitTermination(300):
-                # fail loudly instead of aggregating a partial sink
-                # (and don't leak the still-running query)
+            try:
+                if not q.awaitTermination(300):
+                    # fail loudly instead of aggregating a partial sink
+                    raise RuntimeError(
+                        f"streaming drain into {name} timed out after 300s"
+                    )
+            finally:
                 q.stop()
-                raise RuntimeError(
-                    f"streaming drain into {name} timed out after 300s"
-                )
         else:
             q = writer.trigger(processingTime="50 milliseconds").start()
-            # processAllAvailable has no timeout parameter: run it in a
-            # watchdog thread so a stalled source fails loudly after
-            # 300s instead of hanging the whole catalog gate/bench
-            import threading as _th
+            try:
+                # processAllAvailable has no timeout parameter: run it
+                # in a watchdog thread so a stalled source fails loudly
+                # after 300s instead of hanging the catalog gate/bench
+                import threading as _th
 
-            t = _th.Thread(target=q.processAllAvailable, daemon=True)
-            t.start()
-            t.join(300)
-            if t.is_alive():
-                q.stop()
-                raise RuntimeError(
-                    f"streaming drain into {name} timed out after 300s"
-                )
-            if os.environ.get("SEH_STREAM_DEBUG"):
-                # drain forensics (bench-context variance hunts): one
-                # line per micro-batch with the engine's own phase
-                # timings. Off unless explicitly requested.
-                import json as _json
-                import sys as _sys
-
-                for p in q.recentProgress:
-                    print(
-                        f"SEH_STREAM_DEBUG {name} "
-                        + _json.dumps({
-                            "batchId": p["batchId"],
-                            "rows": p["numInputRows"],
-                            "durationMs": p["durationMs"],
-                        }),
-                        file=_sys.stderr, flush=True,
+                t = _th.Thread(target=q.processAllAvailable, daemon=True)
+                t.start()
+                t.join(300)
+                if t.is_alive():
+                    raise RuntimeError(
+                        f"streaming drain into {name} timed out after 300s"
                     )
-            q.stop()
+                if os.environ.get("SEH_STREAM_DEBUG"):
+                    # drain forensics (bench-context variance hunts):
+                    # one line per micro-batch with the engine's own
+                    # phase timings. Off unless explicitly requested.
+                    import json as _json
+                    import sys as _sys
+
+                    for p in q.recentProgress:
+                        print(
+                            f"SEH_STREAM_DEBUG {name} "
+                            + _json.dumps({
+                                "batchId": p["batchId"],
+                                "rows": p["numInputRows"],
+                                "durationMs": p["durationMs"],
+                            }),
+                            file=_sys.stderr, flush=True,
+                        )
+            finally:
+                q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        # q.stop() has run on every exit path (success and the timeout
-        # raises above), so the checkpoint is dead weight either way
+        # the inner finally has stopped the query on every exit path,
+        # so the checkpoint is dead weight either way
         workdirs.release(ck)
 
 
@@ -3224,7 +3235,7 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tau 0.35: the synthetic embeddings top out at pairwise cos ~0.51
 # (see embed_neardup_pairs note), so a paper-typical 0.95 cut would be
 # vacuous; 0.35 drops a real ~18% of vectors at sf0.01.
-@register("embed_semdedup", CL.oracle_semdedup())
+@register("embed_semdedup", CL.oracle_semdedup(k=None))
 def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     then inside each cluster flag every vector with a smaller-id
@@ -3283,7 +3294,7 @@ JOIN ({{chunk}}) c USING (doc_id)
 LEFT JOIN ({{sem}}) s ON s.vec_id = g.doc_id""".format(
         gopher=T.oracle_gopher_filters(),
         chunk=D.oracle_chunk_dedup(),
-        sem=CL.oracle_semdedup(),
+        sem=CL.oracle_semdedup(k=None),
     ),
 )
 def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -296,11 +296,13 @@ def _asof_bucket_update(
         {
             "user_id": allr["user_id"].to_numpy()[is_purchase],
             "purchase_us": enq[is_purchase],
+            # vectorized NaN->NA masked construction (no per-purchase
+            # Python loop in the kernel whose point is replacing
+            # per-user Python): float64 micro-epochs < 2^53 are exact,
+            # so the Float64->Int64 cast is lossless
             "last_click_us": pd.array(
-                [None if pd.isna(v) else int(v)
-                 for v in filled.to_numpy()[is_purchase]],
-                dtype="Int64",
-            ),
+                filled.to_numpy()[is_purchase], dtype="Float64"
+            ).astype("Int64"),
         }
     )
     last_click = filled.groupby(ucode).last()  # last non-null per user
