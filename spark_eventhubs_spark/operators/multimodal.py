@@ -366,6 +366,42 @@ def resize_netpbm(payload: bytes, factor: int = 2) -> bytes:
     return b"%s\n%d %d\n255\n" % (magic, w, h) + small.tobytes()
 
 
+def _dib_raster(img) -> bytes:
+    """(h, w, 3) RGB uint8 -> the raw DIB raster both BMP and
+    uncompressed AVI store: bottom-up BGR rows padded to 4-byte
+    boundaries."""
+    import numpy as np
+
+    img = np.asarray(img, dtype="u1")
+    h, w, ch = img.shape
+    if ch != 3:
+        raise ValueError("DIB raster writer is 24-bit RGB only")
+    pad = (-(w * 3)) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        rows.append(img[y, :, ::-1].tobytes() + b"\x00" * pad)
+    return b"".join(rows)
+
+
+def _dib_frame_decode(raster: bytes, w: int, h: int, ch: int):
+    """Raw DIB raster -> (h, w, ch) uint8 RGB — the shared back half
+    of :func:`decode_bmp`, reused verbatim by the AVI '00db' frame
+    path (an uncompressed AVI frame IS a BMP raster without the file
+    header)."""
+    import numpy as np
+
+    row_bytes = (w * ch + 3) & ~3
+    if len(raster) < row_bytes * h:
+        raise ValueError("truncated DIB raster")
+    arr = np.frombuffer(
+        raster, dtype="u1", count=row_bytes * h
+    ).reshape(h, row_bytes)[:, : w * ch].reshape(h, w, ch)
+    arr = arr[::-1]  # bottom-up storage
+    if ch == 3:
+        arr = arr[:, :, ::-1]  # stored BGR -> returned RGB
+    return np.ascontiguousarray(arr)
+
+
 def encode_bmp(img) -> bytes:
     """Real BMP encode (BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up):
     takes an (h, w, 3) RGB uint8 array, emits BGR rows padded to
@@ -377,13 +413,7 @@ def encode_bmp(img) -> bytes:
 
     img = np.asarray(img, dtype="u1")
     h, w, ch = img.shape
-    if ch != 3:
-        raise ValueError("encode_bmp writes 24-bit RGB only")
-    pad = (-(w * 3)) % 4
-    rows = []
-    for y in range(h - 1, -1, -1):  # bottom-up row order
-        rows.append(img[y, :, ::-1].tobytes() + b"\x00" * pad)
-    raster = b"".join(rows)
+    raster = _dib_raster(img)
     pixel_off = 14 + 40
     file_hdr = b"BM" + struct.pack("<IHHI", pixel_off + len(raster), 0, 0, pixel_off)
     info_hdr = struct.pack(
@@ -574,25 +604,230 @@ def _decode_video_av(payload: bytes) -> dict:
     }
 
 
+def encode_avi(frames, rate: int = 10, scale: int = 1) -> bytes:
+    """Real uncompressed-AVI encode (the video twin of
+    :func:`encode_bmp`): a RIFF 'AVI ' container with the standard
+    hdrl LIST (MainAVIHeader + one 'vids'/'DIB ' stream with a
+    BITMAPINFOHEADER strf) and a movi LIST of '00db' chunks, each
+    holding one frame's raw DIB raster (:func:`_dib_raster` — the
+    exact bytes a BMP stores after its file header). ``frames`` is a
+    non-empty list of same-shape (h, w, 3) RGB uint8 arrays; frame
+    rate is ``rate/scale`` fps. Round-trip property-tested against
+    :func:`_decode_avi`.
+
+    Reference parity note: the reference connector treats event bodies
+    as opaque bytes (M/eventhubs/EventHubsConf.scala — no media
+    layer); this closes SURVEY §2.3's multimodal video sliver with a
+    decoder that needs nothing beyond stdlib struct + numpy."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    first = np.asarray(frames[0], dtype="u1")
+    h, w, ch = first.shape
+    rasters = []
+    for fr in frames:
+        a = np.asarray(fr, dtype="u1")
+        if a.shape != (h, w, ch):
+            raise ValueError("encode_avi frames must share one shape")
+        rasters.append(_dib_raster(a))
+    frame_bytes = len(rasters[0])
+    usec_per_frame = scale * 1_000_000 // rate
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,        # dwMicroSecPerFrame
+        frame_bytes * rate,    # dwMaxBytesPerSec
+        0,                     # dwPaddingGranularity
+        0,                     # dwFlags (no idx1 index is written)
+        len(rasters),          # dwTotalFrames
+        0,                     # dwInitialFrames
+        1,                     # dwStreams
+        frame_bytes,           # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,      # dwWidth, dwHeight, dwReserved[4]
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0,            # dwFlags, wPriority, wLanguage
+            0,                  # dwInitialFrames
+            scale, rate,        # dwScale, dwRate
+            0, len(rasters),    # dwStart, dwLength (frames)
+            frame_bytes,        # dwSuggestedBufferSize
+            0xFFFFFFFF, 0,      # dwQuality, dwSampleSize
+            0, 0, w, h,         # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))
+    ) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(chunk(b"00db", r) for r in rasters)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_avi(payload: bytes) -> dict:
+    """Dependency-free uncompressed-AVI decode — the byte-level twin
+    of :func:`decode_bmp` at container scope. Walks the RIFF tree:
+    hdrl's strh ('vids' stream: dwScale/dwRate) and strf
+    (BITMAPINFOHEADER: dims, bit depth, BI_RGB check), then every
+    '..db' movi chunk as a raw DIB frame via :func:`_dib_frame_decode`.
+    Compressed streams (strf.biCompression != 0, non-DIB handlers, or
+    '..dc' frame chunks) raise NotImplementedError so
+    :func:`decode_video` can fall through to the guarded PyAV path.
+
+    Returns the :func:`_decode_video_av` dict shape. Luma contract of
+    THIS path: exact integer BT.601 full-range —
+    ``mean_luma_e2 = 100 * sum(299 R + 587 G + 114 B) //
+    (1000 * n_pixels)`` (8-bit frames use the sample directly), which
+    a SQL oracle reproduces exactly; PyAV's swscale gray is a
+    limited-range approximation and is deliberately NOT used here."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI magic)")
+
+    def walk(buf: bytes, off: int, end: int):
+        """Yield (fourcc, list_type_or_None, body_start, body_end)."""
+        while off + 8 <= end:
+            cc = buf[off:off + 4]
+            (size,) = struct.unpack_from("<I", buf, off + 4)
+            body, nxt = off + 8, off + 8 + size + (size % 2)
+            if body + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cc == b"LIST":
+                yield cc, buf[body:body + 4], body + 4, body + size
+            else:
+                yield cc, None, body, body + size
+            off = nxt
+
+    scale = rate = 0
+    w = h = bpp = comp = 0
+    usec_per_frame = 0
+    have_vids = False
+    frames = []
+    for cc, ltype, b0, b1 in walk(payload, 12, len(payload)):
+        if cc == b"LIST" and ltype == b"hdrl":
+            for cc2, ltype2, c0, c1 in walk(payload, b0, b1):
+                if cc2 == b"avih":
+                    usec_per_frame = struct.unpack_from("<I", payload, c0)[0]
+                elif cc2 == b"LIST" and ltype2 == b"strl":
+                    fcc_type = fcc_handler = b""
+                    for cc3, _, d0, d1 in walk(payload, c0, c1):
+                        if cc3 == b"strh":
+                            fcc_type = payload[d0:d0 + 4]
+                            fcc_handler = payload[d0 + 4:d0 + 8]
+                            scale, rate = struct.unpack_from(
+                                "<II", payload, d0 + 20
+                            )
+                        elif cc3 == b"strf" and fcc_type == b"vids":
+                            _hs, w, h, _pl, bpp, comp = struct.unpack_from(
+                                "<IiiHHI", payload, d0
+                            )
+                            have_vids = True
+                            if comp != 0 or fcc_handler not in (
+                                b"DIB ", b"\x00\x00\x00\x00", b"RGB "
+                            ):
+                                raise NotImplementedError(
+                                    "compressed AVI stream (handler "
+                                    f"{fcc_handler!r}, biCompression {comp}) "
+                                    "— the dependency-free path decodes "
+                                    "uncompressed DIB only; codec AVIs need "
+                                    "PyAV"
+                                )
+                            if bpp not in (8, 24):
+                                raise ValueError(
+                                    f"unsupported DIB bit depth {bpp}"
+                                )
+        elif cc == b"LIST" and ltype == b"movi":
+            for cc2, _, c0, c1 in walk(payload, b0, b1):
+                if cc2[2:4] == b"dc":
+                    raise NotImplementedError(
+                        "compressed AVI frame chunk — needs PyAV"
+                    )
+                if cc2[2:4] == b"db":
+                    frames.append((c0, c1))
+    if not have_vids:
+        raise ValueError("AVI has no video stream header")
+    if not frames:
+        raise ValueError("AVI movi list has no frames")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad AVI dimensions {w}x{h}")
+    ch = 1 if bpp == 8 else 3
+    luma_num = 0  # sum of per-pixel (299R + 587G + 114B); 1000x scale
+    n_px = 0
+    for c0, c1 in frames:
+        arr = _dib_frame_decode(payload[c0:c1], w, h, ch).astype(np.int64)
+        if ch == 3:
+            luma_num += int(
+                299 * arr[:, :, 0].sum()
+                + 587 * arr[:, :, 1].sum()
+                + 114 * arr[:, :, 2].sum()
+            )
+        else:
+            luma_num += 1000 * int(arr.sum())
+        n_px += w * h
+    if rate <= 0 or scale <= 0:
+        # fall back to avih timing when strh carries no rate
+        if usec_per_frame <= 0:
+            raise ValueError("AVI has neither strh rate nor avih timing")
+        scale, rate = usec_per_frame, 1_000_000
+    return {
+        "n_frames": len(frames),
+        "duration_ms": len(frames) * scale * 1000 // rate,
+        "width": w,
+        "height": h,
+        "fps_e3": rate * 1000 // scale,
+        "mean_luma_e2": luma_num * 100 // (1000 * n_px),
+    }
+
+
 def decode_video(payload: bytes) -> dict:
-    """Magic-byte dispatch for video: MP4/MOV, Matroska/WebM, and AVI
-    decode through PyAV WHEN the container ships it and raise an
-    explicit NotImplementedError otherwise — exactly the
-    :func:`decode_image` guard pattern. Anything without a video
-    magic is rejected as not-a-video (a WAV or image payload reaching
-    here is a caller bug worth a precise diagnosis)."""
+    """Magic-byte dispatch for video: uncompressed DIB AVIs decode FOR
+    REAL here (:func:`_decode_avi` — stdlib struct + numpy, the same
+    dependency class as BMP/netpbm/WAV); codec containers (MP4/MOV,
+    Matroska/WebM, compressed AVI) decode through PyAV WHEN the
+    container ships it and raise an explicit NotImplementedError
+    otherwise — exactly the :func:`decode_image` guard pattern.
+    Anything without a video magic is rejected as not-a-video (a WAV
+    or image payload reaching here is a caller bug worth a precise
+    diagnosis)."""
     if not is_video_container(payload):
         raise ValueError(
             "payload has no MP4/MOV, Matroska/WebM, or AVI magic — "
             "not a video container (images: decode_image; WAV audio: "
             "decode_wav)"
         )
+    if payload[:4] == b"RIFF":
+        try:
+            return _decode_avi(payload)
+        except NotImplementedError:
+            if not VIDEO_DECODERS_AVAILABLE:
+                raise
+            # compressed AVI with PyAV present: fall through
     if VIDEO_DECODERS_AVAILABLE:
         return _decode_video_av(payload)
     raise NotImplementedError(
-        "MP4/MKV/WebM/AVI decode needs PyAV (av), which this container "
-        "does not ship; the frame-sampling plumbing (sample_frames) "
-        "runs on opaque bytes without it"
+        "MP4/MKV/WebM decode (and compressed AVI) needs PyAV (av), "
+        "which this container does not ship; uncompressed DIB AVIs "
+        "decode without it, and the frame-sampling plumbing "
+        "(sample_frames) runs on opaque bytes regardless"
     )
 
 
@@ -707,6 +942,72 @@ def as_wav_column(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return df.select("doc_id", text_col).mapInPandas(_make, out_schema)
+
+
+def as_avi_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a REAL uncompressed-AVI payload per document (the
+    container has no video corpora) — the video leg of the
+    as_bmp_column / as_wav_column triad. Dimensions, frame count and
+    the per-frame constant RGB derive from the utf-8 byte length n:
+    w=(n%19)+1, h=((n//19)%13)+1, F=(n%7)+2 frames at 10 fps, frame f
+    painted (r,g,b)=((13n+11f)%251, (7n+5f)%251, (n+3f)%251). Every
+    container feature is exercised for real (RIFF tree, stream
+    headers, per-frame DIB rasters with row padding, bottom-up BGR),
+    while the decoded statistics stay a closed-form function of n
+    that the SQL oracle reproduces exactly — the frame-varying colors
+    make the multi-frame luma accumulation actually bite."""
+    import numpy as np
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                n = len(str(t).encode("utf-8"))
+                w, h = (n % 19) + 1, ((n // 19) % 13) + 1
+                frames = []
+                for f in range((n % 7) + 2):
+                    px = np.empty((h, w, 3), dtype="u1")
+                    px[:, :, 0] = (13 * n + 11 * f) % 251
+                    px[:, :, 1] = (7 * n + 5 * f) % 251
+                    px[:, :, 2] = (n + 3 * f) % 251
+                    frames.append(px)
+                payloads.append(encode_avi(frames, rate=10, scale=1))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "media": payloads}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(_make, out_schema)
+
+
+def oracle_avi_stats() -> str:
+    """DuckDB twin of as_avi_column >> video_stats: frame f's pixels
+    are one constant RGB, so the per-frame luma sum is
+    w*h*(299r+587g+114b) and the pixel count cancels exactly in the
+    floor — mean_luma_e2 = 100 * SUM_f(L_f) // (1000 * F)."""
+    return """WITH m AS (
+  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+  FROM documents
+), lu AS (
+  SELECT m.doc_id, MAX(m.n) AS n, MAX((m.n % 7) + 2) AS nf,
+    SUM(299 * ((13 * m.n + 11 * t.f) % 251)
+      + 587 * ((7 * m.n + 5 * t.f) % 251)
+      + 114 * ((m.n + 3 * t.f) % 251)) AS lsum
+  FROM m, range(8) t(f)  -- F = (n%7)+2 <= 8; DuckDB range() cannot
+  WHERE t.f < (m.n % 7) + 2  -- take a lateral column parameter
+  GROUP BY m.doc_id
+)
+SELECT doc_id,
+  CAST(nf AS BIGINT) AS n_frames,
+  CAST(nf * 100 AS BIGINT) AS duration_ms,
+  CAST((n % 19) + 1 AS INTEGER) AS width,
+  CAST(((n // 19) % 13) + 1 AS INTEGER) AS height,
+  CAST(10000 AS BIGINT) AS fps_e3,
+  CAST(lsum * 100 // (1000 * nf) AS BIGINT) AS mean_luma_e2
+FROM lu"""
 
 
 def oracle_wav_stats() -> str:

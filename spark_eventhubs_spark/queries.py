@@ -3838,6 +3838,24 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(M.as_wav_column(docs))
 
 
+@register("multimodal_avi_stats", M.oracle_avi_stats())
+def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real uncompressed-AVI video decode — the video leg of the
+    BMP/WAV/AVI triad, closing the one north-star sliver PyAV's
+    absence left unverified: per document a genuine RIFF/AVI container
+    (hdrl stream headers + movi '00db' DIB frames, frame count and
+    per-frame constant colors derived from the text byte length) is
+    decoded back by walking the RIFF tree and running true per-frame
+    pixel math (exact integer BT.601 luma over every frame). The
+    frame-varying colors keep the multi-frame accumulation honest and
+    the stats a closed form the SQL oracle reproduces. Scale: two
+    chained mapInPandas stages, partition-preserving, zero shuffle —
+    the same Arrow batch shape a real video corpus flows through;
+    compressed codecs dispatch to the guarded PyAV path."""
+    docs = _table(spark, sf_dir, "documents")
+    return M.video_stats(M.as_avi_column(docs))
+
+
 @register("dedup_incremental_ingest", D.oracle_incremental_dedup())
 def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: the new batch (deterministic 20%

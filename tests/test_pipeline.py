@@ -414,22 +414,33 @@ def test_riff_dispatch_webp_vs_wav():
 
 
 def test_video_decode_raises_without_av_and_rejects_non_video():
-    """The guarded video path (r7): MP4/MKV/WebM-by-EBML/AVI magics
-    refuse LOUDLY without PyAV; payloads without a video magic are
-    rejected as not-a-video with a precise diagnosis."""
+    """The guarded video path (r7, narrowed r9): codec containers
+    (MP4/MKV/WebM-by-EBML, compressed AVI) refuse LOUDLY without PyAV;
+    an AVI that parses but carries no video stream gets a precise
+    corruption diagnosis (it now goes through the REAL RIFF walker,
+    not the guard); payloads without a video magic are rejected as
+    not-a-video."""
+    import numpy as np
     import pytest
 
     from spark_eventhubs_spark.operators import multimodal as M
 
     mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32
     mkv = b"\x1a\x45\xdf\xa3" + b"\x00" * 32
-    avi = b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 32
-    for payload in (mp4, mkv, avi):
+    comp_avi = bytearray(
+        M.encode_avi([np.zeros((2, 2, 3), dtype=np.uint8)])
+    )
+    i = bytes(comp_avi).find(b"DIB ")
+    comp_avi[i:i + 4] = b"cvid"  # codec AVI: real handler sniff trips
+    for payload in (mp4, mkv, bytes(comp_avi)):
         assert M.is_video_container(payload)
         if M.VIDEO_DECODERS_AVAILABLE:
             continue  # covered by the PyAV test where av exists
         with pytest.raises(NotImplementedError, match="PyAV"):
             M.decode_video(payload)
+    # AVI magic with no parseable stream header: corruption, not guard
+    with pytest.raises(ValueError, match="no video stream"):
+        M.decode_video(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 32)
     for payload in (
         b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 32,  # audio RIFF
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 32,             # image
@@ -505,6 +516,71 @@ def test_video_decode_real_stats_with_av(spark):
     )
     row = M.video_stats(df).collect()[0]
     assert row["doc_id"] == 7 and row["n_frames"] == 8
+
+
+def test_avi_video_stats_real_decode_in_spark(spark):
+    """The dependency-free AVI path runs REAL per-frame pixel math
+    end-to-end through video_stats' mapInPandas — no PyAV needed: a
+    3-frame container with known constant frames must report the
+    closed-form stats, and the batch shape must survive mixed frame
+    counts across rows."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_eventhubs_spark.operators import multimodal as M
+
+    def solid(v, h, w):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0], px[:, :, 1], px[:, :, 2] = v
+        return px
+
+    p1 = M.encode_avi(
+        [solid((10, 20, 30), 3, 5), solid((40, 50, 60), 3, 5)], rate=10
+    )
+    p2 = M.encode_avi([solid((0, 0, 251 % 251), 2, 2)] * 3, rate=25)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "media": [bytearray(p1), bytearray(p2)]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in M.video_stats(df).collect()}
+    l1 = (299 * 10 + 587 * 20 + 114 * 30) + (299 * 40 + 587 * 50 + 114 * 60)
+    assert rows[1].asDict() == {
+        "doc_id": 1, "n_frames": 2, "duration_ms": 200, "width": 5,
+        "height": 3, "fps_e3": 10000, "mean_luma_e2": l1 * 100 // 2000,
+    }
+    assert rows[2]["n_frames"] == 3 and rows[2]["fps_e3"] == 25000
+    assert rows[2]["mean_luma_e2"] == 0 and rows[2]["duration_ms"] == 120
+
+
+def test_avi_decode_error_paths():
+    """Truncation, 16-bit depth, and compressed frame chunks all get
+    precise diagnoses; the compressed guard is NotImplementedError so
+    decode_video can fall through to PyAV where it exists."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spark_eventhubs_spark.operators import multimodal as M
+
+    good = M.encode_avi([np.zeros((2, 3, 3), dtype=np.uint8)] * 2)
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_avi(good[:40])
+    with pytest.raises(ValueError, match="not an AVI"):
+        M._decode_avi(b"RIFF\x08\x00\x00\x00WAVE")
+    # 16-bit DIB: unsupported depth named precisely
+    bad_bpp = bytearray(good)
+    i = good.find(b"strf")
+    struct.pack_into("<H", bad_bpp, i + 8 + 14, 16)
+    with pytest.raises(ValueError, match="bit depth 16"):
+        M._decode_avi(bytes(bad_bpp))
+    # compressed frame chunk id ('00dc'): guard, not corruption
+    dc = bytearray(good)
+    j = good.find(b"00db")
+    dc[j:j + 4] = b"00dc"
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        M._decode_avi(bytes(dc))
 
 
 def test_video_container_without_video_stream_precise_diagnosis():

@@ -252,6 +252,47 @@ def test_bmp_roundtrip(w, h, seed, top_down):
     assert (decode_bmp(payload) == img).all()
 
 
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=9),
+    nf=st.integers(min_value=1, max_value=6),
+    rate=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_roundtrip(w, h, nf, rate, seed):
+    """Any frame stack survives encode_avi -> _decode_avi with exact
+    container metadata and the exact integer BT.601 luma the decoder
+    contracts (row padding, bottom-up BGR, chunk word-alignment all
+    exercised by odd widths)."""
+    import numpy as np
+
+    from spark_eventhubs_spark.operators.multimodal import (
+        _decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for _ in range(nf)
+    ]
+    d = _decode_avi(encode_avi(frames, rate=rate, scale=1))
+    lsum = sum(
+        299 * int(f[:, :, 0].astype(np.int64).sum())
+        + 587 * int(f[:, :, 1].astype(np.int64).sum())
+        + 114 * int(f[:, :, 2].astype(np.int64).sum())
+        for f in frames
+    )
+    assert d == {
+        "n_frames": nf,
+        "duration_ms": nf * 1000 // rate,
+        "width": w,
+        "height": h,
+        "fps_e3": rate * 1000,
+        "mean_luma_e2": lsum * 100 // (1000 * nf * w * h),
+    }
+
+
 # ---------------------------------------------------------------------
 # round-7: window rotation ranking, RIFF/video magic dispatch,
 # footer-stat memo invalidation
