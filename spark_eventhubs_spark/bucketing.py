@@ -24,6 +24,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BUCKETS = 8
 
+# Auto-sizing for the PageRank edge artifact (round-9: the fixed
+# 8-bucket layout capped every steady-state iteration at 8 scan+join
+# tasks — measured 15.4 s median at 30x data vs 9.5 s with 64 buckets
+# on the same corpus, scripts/pagerank_iterate_probe.py — the same
+# fixed-parameter-breaks-linearity class as semdedup's fixed k).
+# Bucket SIZE is the constant, bucket COUNT scales: the target holds
+# per-bucket edge rows ~1.5M. Edge cardinality is estimated from the
+# lineitem row count (distinct co-purchase pairs per row are bounded
+# by parts-per-order, ~4x on the TPC-H shape), so the oracle-checked
+# sfs (<= sf0.1, ~2.4M edges) keep exactly the historical 8 buckets.
+EDGE_ROWS_PER_BUCKET = 1_500_000
+EDGES_PER_LINEITEM_ROW = 4
+MAX_EDGE_BUCKETS = 256
+
+
+def auto_edge_buckets(li_rows: int) -> int:
+    """Smallest power-of-two bucket count (floor 8, cap 256) holding
+    estimated per-bucket edges <= EDGE_ROWS_PER_BUCKET."""
+    est = li_rows * EDGES_PER_LINEITEM_ROW
+    b = DEFAULT_BUCKETS
+    while b < MAX_EDGE_BUCKETS and est > b * EDGE_ROWS_PER_BUCKET:
+        b *= 2
+    return b
+
+
 _FACT_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
 # (applicationId, table_name) -> scratch location backing the table.
@@ -124,7 +149,7 @@ def materialize_bucketed(
 def ensure_copurchase_edges(
     spark: SparkSession,
     sf_dir: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     location: str | None = None,
 ) -> str:
     """Idempotent per-(session, sf_dir): materialize the co-purchase
@@ -135,13 +160,23 @@ def ensure_copurchase_edges(
     plans with NO Exchange on the |edges|-row side — only the
     |nodes|-row ranks frame shuffles (pinned in
     tests/test_graph.py). ``scripts/scale_stepup.py`` times this
-    ingest separately from the steady-state iterations."""
+    ingest separately from the steady-state iterations.
+
+    ``n_buckets=None`` (default) derives the count from the corpus via
+    :func:`auto_edge_buckets` — a bucketed scan plans exactly one task
+    per bucket, so a FIXED count caps iteration parallelism no matter
+    how many executors exist; pass an explicit count to pin it."""
     import hashlib
 
     from spark_eventhubs_spark.operators.graph import (
         copurchase_edge_artifact,
     )
 
+    if n_buckets is None:
+        # metadata-only row count (parquet footer statistics)
+        n_buckets = auto_edge_buckets(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        )
     abspath = os.path.abspath(os.path.normpath(sf_dir))
     fp = hashlib.md5(abspath.encode()).hexdigest()[:8]
     base = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(abspath))

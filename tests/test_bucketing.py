@@ -70,3 +70,29 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed):
         .collect()
     }
     assert got == want
+
+
+def test_auto_edge_buckets_scales_with_corpus():
+    """The edge artifact's bucket count derives from corpus size (a
+    fixed count caps every PageRank iteration at n_buckets tasks:
+    measured 15.4 s -> 9.5 s at 30x data moving 8 -> 64 buckets,
+    scripts/pagerank_iterate_probe.py). Floor 8 keeps every
+    oracle-checked sf (<= sf0.1, ~600k lineitem rows) on the
+    historical layout; growth is power-of-two with per-bucket edge
+    rows bounded by EDGE_ROWS_PER_BUCKET; cap 256."""
+    from spark_eventhubs_spark.bucketing import (
+        EDGE_ROWS_PER_BUCKET,
+        EDGES_PER_LINEITEM_ROW,
+        auto_edge_buckets,
+    )
+
+    assert auto_edge_buckets(0) == 8
+    assert auto_edge_buckets(600_000) == 8      # sf0.1
+    assert auto_edge_buckets(6_000_000) == 16   # 10x replica
+    assert auto_edge_buckets(18_000_000) == 64  # 30x replica
+    assert auto_edge_buckets(10**10) == 256     # capped
+    for rows in (1, 10**5, 10**6, 10**7, 10**8):
+        b = auto_edge_buckets(rows)
+        assert b & (b - 1) == 0 and 8 <= b <= 256
+        est = rows * EDGES_PER_LINEITEM_ROW
+        assert b == 256 or est <= b * EDGE_ROWS_PER_BUCKET
