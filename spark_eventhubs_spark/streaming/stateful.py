@@ -137,20 +137,130 @@ def _update_counters(
     )
 
 
-def running_counters(sdf: DataFrame, user_key: str = "user_id") -> DataFrame:
+_COUNTERB_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(StringType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+    ]
+)
+
+
+def _counters_bucket_update(
+    key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-BUCKET running counters (the :func:`_scd2_bucket_update`
+    pattern): every user's (count, last-seen) carry lives in ONE state
+    row of parallel arrays; the batch slice merges with the carry in a
+    single vectorized groupby (state rows enter with their running
+    totals, batch rows with weight 1, sum/max aggregates both at
+    once). Emits — exactly like the per-user path — one row per user
+    PRESENT in this trigger, with the running totals after it; users
+    only in the carry stay silent. Null user (event without the
+    property) is a real key: ``dropna=False`` groups it, and the
+    None-not-'nan' store rule keeps its carry across triggers."""
+    import numpy as np
+
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype=object),
+                "n_events": pd.array([], dtype="int64"),
+                "last_seen_us": pd.array([], dtype="int64"),
+            }
+        )
+        return
+    batch = pd.concat(frames, ignore_index=True).drop(
+        columns=["bucket"], errors="ignore"
+    )
+    parts = [
+        pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "n": np.int64(1),
+                "last": batch["enq_us"].to_numpy(np.int64),
+                "inb": np.int8(1),
+            }
+        )
+    ]
+    if state.exists:
+        users, ns, lasts = state.get
+        parts.append(
+            pd.DataFrame(
+                {
+                    "user_id": pd.array(users, dtype=object),
+                    "n": np.asarray(ns, dtype=np.int64),
+                    "last": np.asarray(lasts, dtype=np.int64),
+                    "inb": np.int8(0),
+                }
+            )
+        )
+    agg = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("user_id", dropna=False, sort=False)
+        .agg(n=("n", "sum"), last=("last", "max"), inb=("inb", "max"))
+        .reset_index()
+    )
+    state.update(
+        (
+            # NaN-safe like the other bucketed kernels: a null user
+            # must round-trip as None, never the string 'nan'
+            agg["user_id"].astype(object).where(
+                agg["user_id"].notna(), None
+            ).tolist(),
+            agg["n"].to_numpy(np.int64).tolist(),
+            agg["last"].to_numpy(np.int64).tolist(),
+        )
+    )
+    out = agg[agg["inb"] == 1]
+    yield pd.DataFrame(
+        {
+            "user_id": out["user_id"],
+            "n_events": out["n"].to_numpy(np.int64),
+            "last_seen_us": out["last"].to_numpy(np.int64),
+        }
+    )
+
+
+def running_counters(
+    sdf: DataFrame,
+    user_key: str = "user_id",
+    n_buckets: int | None = 64,
+) -> DataFrame:
     """Running per-user event count + last-seen, via
     ``applyInPandasWithState`` — the custom-stateful-operator template:
-    Arrow-batched per-group updates against the state store, one output
-    row per group per trigger.
-    """
+    Arrow-batched updates against the state store, one output row per
+    user present in each trigger.
+
+    ``n_buckets`` (default 64) applies the :func:`streaming_scd2`
+    bucketing recipe: applyInPandasWithState pays a fixed Arrow/state
+    round trip per GROUP per trigger, so per-user grouping is O(active
+    users) fixed costs per trigger while ``hash(user) % n_buckets``
+    caps it at n_buckets and merges each bucket's slice with its carry
+    in one vectorized groupby (:func:`_counters_bucket_update`).
+    Output rows are identical to the per-user path (``n_buckets=None``,
+    two-path equality pinned in tests) — only the state layout
+    changes."""
     keyed = sdf.select(
         F.col("properties").getItem(user_key).alias("user_id"),
         F.unix_micros(F.col("enqueuedTime")).alias("enq_us"),
     )
-    return keyed.groupBy("user_id").applyInPandasWithState(
-        _update_counters,
+    if n_buckets is None:
+        return keyed.groupBy("user_id").applyInPandasWithState(
+            _update_counters,
+            outputStructType=_COUNTER_OUT_SCHEMA,
+            stateStructType=_COUNTER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    bucketed = keyed.withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _counters_bucket_update,
         outputStructType=_COUNTER_OUT_SCHEMA,
-        stateStructType=_COUNTER_STATE_SCHEMA,
+        stateStructType=_COUNTERB_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

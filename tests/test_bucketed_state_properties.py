@@ -25,8 +25,10 @@ from hypothesis import strategies as st
 from spark_eventhubs_spark.streaming.stateful import (
     _asof_bucket_update,
     _asof_update,
+    _counters_bucket_update,
     _scd2_bucket_update,
     _scd2_update,
+    _update_counters,
 )
 
 
@@ -157,6 +159,34 @@ def _scd2_frame(rows):
             "sequenceNumber": pd.array([r[3] for r in rows], dtype="int64"),
         }
     )
+
+
+# --------------------------------------------------------------------
+# running counters: per-trigger cumulative (count, last-seen) rows
+# --------------------------------------------------------------------
+
+def _counters_frame(rows):
+    return pd.DataFrame(
+        {
+            "user_id": pd.array([r[0] for r in rows], dtype=object),
+            "enq_us": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+@given(batches=_streams(st.booleans()))
+@settings(max_examples=150, deadline=None)
+def test_counters_bucketed_kernel_equals_per_user(batches):
+    """Update-mode semantics: each trigger emits one row per PRESENT
+    user with the cumulative totals after it — the bucketed kernel
+    must reproduce the per-user rows exactly, including the None-user
+    carry across triggers (the 'nan' round-trip bug class)."""
+    per = _per_key_run(
+        _update_counters, batches, _counters_frame, lambda r: r[0]
+    )
+    buck = _bucket_run(_counters_bucket_update, batches, _counters_frame)
+    cols = ("user_id", "n_events", "last_seen_us")
+    assert _canon(buck, cols) == _canon(per, cols)
 
 
 @given(batches=_streams(st.sampled_from(["x", "y", None])))
