@@ -952,6 +952,172 @@ SELECT doc_id, COUNT(*) AS n_chunks,
 FROM k GROUP BY 1"""
 
 
+# ---------------------------------------------------------------------
+# Exact-substring span extraction (suffix-array-precision dedup)
+# ---------------------------------------------------------------------
+
+SPAN_MIN_LEN = 8  # tokens; Lee et al. use 50 on web text — scaled to
+# the synthetic corpus so the operator finds real spans at every sf
+
+
+def exact_substring_spans(
+    df: DataFrame, min_len: int = SPAN_MIN_LEN, text_col: str = "text"
+) -> DataFrame:
+    """MAXIMAL duplicated-substring spans per document — the precision
+    upgrade over :func:`chunk_dedup`'s fixed stride-``w`` chunks and
+    the per-doc profile the suffix-array method of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    produces: token position ``i`` is covered iff the ``min_len``-gram
+    starting there occurs >= 2 times in the corpus (any doc, any
+    offset — a duplicated substring of length >= min_len exists at i
+    iff its first min_len tokens do); maximal covered TOKEN intervals
+    (grams merged when they overlap or touch) are the duplicated
+    spans. Emits per doc: gram/coverage counts, span count, longest
+    span, and the exact basis-point fraction of tokens inside any
+    duplicated span.
+
+    Spark-first in place of a suffix array: the SA+LCP structure
+    exists to enumerate repeated substrings without materializing all
+    positions; at cluster scale the equivalent is one stride-1 gram
+    explode (n_tokens rows — the deliberate w-times-denser cost vs
+    chunk_dedup), one 60-bit-hash groupBy with map-side combine, a
+    co-partitioned join back, and per-doc WINDOW interval-union (the
+    islands pattern: a gram opens a new span iff it starts past the
+    running MAX of prior span ends) — no global sort, no all-pairs,
+    every wide stage keyed by gram hash or doc_id. Window state is
+    per-doc and streams in sorted order, so skew is bounded by the
+    longest document, not the corpus."""
+    from pyspark.sql import Window
+
+    from spark_eventhubs_spark.functions.hashing import md5_hash64
+
+    L = min_len
+    toks = tokens_col(F.col(text_col))
+    n_g = F.size(toks) - F.lit(L) + 1
+    gram_arr = F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_g - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col("doc_id"), F.posexplode(gram_arr).alias("i", "gram")
+    ).select("doc_id", "i", md5_hash64(F.col("gram")).alias("h"))
+    freq = grams.groupBy("h").agg(F.count("*").alias("n_occ"))
+    covered = (
+        grams.join(freq, "h")
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "i", (F.col("i") + F.lit(L)).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        covered.withColumn("pme", F.max("e").over(w_prev))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("pme").isNull() | (F.col("i") > F.col("pme")), 1
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("ni").over(w_cum))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("i").alias("s"),
+        F.max("e").alias("se"),
+        F.count("*").alias("ncs"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans_raw"),
+        F.sum(F.col("se") - F.col("s")).alias("dup_tokens"),
+        F.max(F.col("se") - F.col("s")).alias("longest_raw"),
+        F.sum("ncs").alias("n_dup_grams_raw"),
+    )
+    base = df.select(
+        F.col("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(n_g, F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams_raw"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+        F.coalesce(F.col("n_spans_raw"), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.coalesce(F.col("longest_raw"), F.lit(0))
+        .cast("long")
+        .alias("longest_span_toks"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("CAST(10000 * COALESCE(dup_tokens, 0) AS BIGINT) DIV n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_token_bp"),
+    )
+
+
+def oracle_exact_substring_spans(min_len: int = SPAN_MIN_LEN) -> str:
+    from spark_eventhubs_spark.functions.hashing import oracle_md5_hash64
+    from spark_eventhubs_spark.operators.text import _oracle_tokens
+
+    L = min_len
+    h = oracle_md5_hash64(f"array_to_string(toks[i+1 : i+{L}], ' ')")
+    return f"""WITH base AS (
+  SELECT doc_id, {_oracle_tokens('text')} AS toks FROM documents
+), gr AS (
+  SELECT doc_id, unnest(range(0, GREATEST(len(toks) - {L} + 1, 0))) AS i, toks
+  FROM base
+), g AS (
+  SELECT doc_id, i, {h} AS h FROM gr
+), freq AS (
+  SELECT h, COUNT(*) AS n_occ FROM g GROUP BY 1
+), cov AS (
+  SELECT g.doc_id, g.i, g.i + {L} AS e
+  FROM g JOIN freq USING (h) WHERE freq.n_occ >= 2
+), isl AS (
+  SELECT doc_id, i, e,
+    CASE WHEN MAX(e) OVER w IS NULL OR i > MAX(e) OVER w THEN 1 ELSE 0 END AS ni
+  FROM cov
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT doc_id, i, e,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM isl
+), sp AS (
+  SELECT doc_id, isl, MIN(i) AS s, MAX(e) AS se, COUNT(*) AS ncs
+  FROM isl2 GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(se - s) AS dup_tokens,
+    MAX(se - s) AS longest, SUM(ncs) AS n_dup_grams
+  FROM sp GROUP BY 1
+)
+SELECT b.doc_id,
+  CAST(len(b.toks) AS BIGINT) AS n_tokens,
+  CAST(GREATEST(len(b.toks) - {L} + 1, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(pd.longest, 0) AS BIGINT) AS longest_span_toks,
+  CAST(CASE WHEN len(b.toks) > 0
+    THEN (10000 * COALESCE(pd.dup_tokens, 0)) // len(b.toks)
+    ELSE 0 END AS BIGINT) AS dup_token_bp
+FROM base b LEFT JOIN pd USING (doc_id)"""
+
+
 # ---- incremental ingest dedup ----
 
 def incremental_dedup(

@@ -756,13 +756,21 @@ def _decode_avi(payload: bytes) -> dict:
                                     f"unsupported DIB bit depth {bpp}"
                                 )
         elif cc == b"LIST" and ltype == b"movi":
-            for cc2, _, c0, c1 in walk(payload, b0, b1):
-                if cc2[2:4] == b"dc":
-                    raise NotImplementedError(
-                        "compressed AVI frame chunk — needs PyAV"
-                    )
-                if cc2[2:4] == b"db":
-                    frames.append((c0, c1))
+            # frames may be interleaved inside 'rec ' sub-lists (the
+            # AVI interleaving unit) — walk one level down for those
+            stack = [(b0, b1)]
+            while stack:
+                lo, hi = stack.pop()
+                for cc2, ltype2, c0, c1 in walk(payload, lo, hi):
+                    if cc2 == b"LIST" and ltype2 == b"rec ":
+                        stack.append((c0, c1))
+                    elif cc2[2:4] == b"dc":
+                        raise NotImplementedError(
+                            "compressed AVI frame chunk — needs PyAV"
+                        )
+                    elif cc2[2:4] == b"db":
+                        frames.append((c0, c1))
+            frames.sort()  # 'rec ' recursion must not reorder frames
     if not have_vids:
         raise ValueError("AVI has no video stream header")
     if not frames:

@@ -2831,6 +2831,20 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_lm_scores(_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_substring_spans", D.oracle_exact_substring_spans())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring span extraction (the Lee et al.
+    2022 suffix-array dedup shape re-expressed Spark-first —
+    operators/dedup.py:exact_substring_spans): per document the
+    duplicated spans' count, longest length, and exact token-coverage
+    basis points, from stride-1 min_len-gram occurrence counts plus a
+    per-doc window interval-union. Scale: one explode to n_tokens gram
+    rows (the deliberate precision-over-chunk_dedup cost), one
+    hash-keyed agg + co-partitioned join, windows bounded per doc —
+    no global sort, no all-pairs."""
+    return D.exact_substring_spans(_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_span_profile", D.oracle_duplicated_span_profile())
 def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span profile

@@ -599,3 +599,40 @@ def test_dsir_quantile_keep_mode_matches_rank_up_to_cutoff_ties(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_exact_substring_spans_hand_computed(spark):
+    """Maximal-span semantics on constructed docs (min_len=8):
+    overlapping covered grams union into ONE span; a 10-token shared
+    substring yields 3 covered 8-gram starts but one 10-token span;
+    within-doc repetition counts as duplication; sub-min_len docs
+    emit zero grams; clean docs emit zero spans."""
+    from spark_eventhubs_spark.operators.dedup import exact_substring_spans
+
+    common = " ".join(f"c{i}" for i in range(10))       # 10 shared tokens
+    eight = " ".join(f"e{i}" for i in range(8))         # 8-token self-dup
+    filler = " ".join(f"f{i}" for i in range(9))
+    rows = [
+        (0, f"u1 u2 {common} u3 u4"),                   # span at toks [2,12)
+        (1, f"{common} v1 v2 v3"),                      # span at toks [0,10)
+        (2, "z1 z2 z3 z4 z5 z6 z7"),                    # 7 toks: no grams
+        (3, " ".join(f"m{i}" for i in range(9))),       # unique: no spans
+        (4, f"{eight} {filler} {eight}"),               # self-dup twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in exact_substring_spans(df).collect()}
+    assert got[0] == {"doc_id": 0, "n_tokens": 14, "n_grams": 7,
+                      "n_dup_grams": 3, "n_spans": 1,
+                      "longest_span_toks": 10,
+                      "dup_token_bp": 10000 * 10 // 14}
+    assert got[1]["n_spans"] == 1 and got[1]["longest_span_toks"] == 10
+    assert got[1]["dup_token_bp"] == 10000 * 10 // 13
+    assert got[2] == {"doc_id": 2, "n_tokens": 7, "n_grams": 0,
+                      "n_dup_grams": 0, "n_spans": 0,
+                      "longest_span_toks": 0, "dup_token_bp": 0}
+    assert got[3]["n_spans"] == 0 and got[3]["n_grams"] == 2
+    # doc 4: the 8-gram "e0..e7" occurs at starts 0 and 17 (disjoint,
+    # gap > 0) -> two 8-token spans, 16/25 tokens covered
+    assert got[4]["n_spans"] == 2 and got[4]["longest_span_toks"] == 8
+    assert got[4]["n_dup_grams"] == 2
+    assert got[4]["dup_token_bp"] == 10000 * 16 // 25
