@@ -1001,7 +1001,10 @@ def exact_substring_spans(
             lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
+    # _spread: a single-file corpus otherwise pins the tokenize +
+    # gram-materialize + md5 stage (the operator's CPU bulk) to ONE
+    # task — measured 4.98 s single-task vs sub-second spread at sf0.1
+    grams = _spread(df).select(
         F.col("doc_id"), F.posexplode(gram_arr).alias("i", "gram")
     ).select("doc_id", "i", md5_hash64(F.col("gram")).alias("h"))
     freq = grams.groupBy("h").agg(F.count("*").alias("n_occ"))
