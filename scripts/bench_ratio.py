@@ -20,7 +20,11 @@ seconds, the ratio, and a classification —
                         whole k-times-larger backlog by definition;
 - ``at-or-below-linear`` everything else.
 
-Usage: python scripts/bench_ratio.py <small.json> <big.json> [top_n] [--emit]
+Usage: python scripts/bench_ratio.py <small.json> <big.json> [top_n]
+       [--emit] [--factor=K]
+
+``--factor`` overrides the data factor when either record's ``sf`` is
+a replica dir that did not parse (bench reports sf=-1 there).
 """
 
 from __future__ import annotations
@@ -77,17 +81,30 @@ def _load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--emit"]
-    emit = "--emit" in sys.argv[1:]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    emit = "--emit" in flags
+    explicit = next(
+        (float(f.split("=", 1)[1]) for f in flags if f.startswith("--factor=")),
+        None,
+    )
     small = _load(args[0])
     big = _load(args[1])
     top_n = int(args[2]) if len(args) > 2 else 15
     qs, qb = small["queries"], big["queries"]
     common = sorted(set(qs) & set(qb))
-    try:
-        factor = float(big.get("sf")) / float(small.get("sf"))
-    except (TypeError, ValueError):
-        factor = None
+    if explicit is not None:
+        factor = explicit
+    else:
+        try:
+            factor = float(big.get("sf")) / float(small.get("sf"))
+        except (TypeError, ValueError, ZeroDivisionError):
+            factor = None
+        # bench reports sf=-1 for replica dirs whose name carries no
+        # scale — a negative/zero factor would classify EVERYTHING as
+        # superlinear, so treat it as unknown instead
+        if factor is not None and factor <= 0:
+            factor = None
     ratios = sorted(
         ((qb[k] / qs[k] if qs[k] > 0 else float("inf"), k) for k in common),
         reverse=True,
