@@ -56,8 +56,17 @@ OUTPUT_BOUND = {
 }
 
 
+# A streaming twin's drain replays the whole k-times-larger backlog,
+# so its EXPECTED ratio is ~factor; only beyond factor * this slack is
+# the twin flagged superlinear (a real scale regression on top of the
+# replay cost — ADVICE r9: the stream_ shortcut must not mask those).
+STREAM_SLACK = 1.5
+
+
 def classify(name: str, ratio: float, factor: float | None) -> str:
     if name.startswith("stream_"):
+        if factor and ratio > factor * STREAM_SLACK:
+            return "superlinear"
         return "backlog-proportional"
     if factor and ratio > factor:
         return "superlinear"

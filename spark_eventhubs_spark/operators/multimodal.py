@@ -721,26 +721,36 @@ def _decode_avi(payload: bytes) -> dict:
     w = h = bpp = comp = 0
     usec_per_frame = 0
     have_vids = False
-    frames = []
+    vids_stream = -1  # strl ordinal of the first 'vids' stream; movi
+    strl_idx = -1     # chunk ids are '%02d' % stream, so only chunks
+    frames = []       # with that prefix are video frames
     for cc, ltype, b0, b1 in walk(payload, 12, len(payload)):
         if cc == b"LIST" and ltype == b"hdrl":
             for cc2, ltype2, c0, c1 in walk(payload, b0, b1):
                 if cc2 == b"avih":
                     usec_per_frame = struct.unpack_from("<I", payload, c0)[0]
                 elif cc2 == b"LIST" and ltype2 == b"strl":
+                    strl_idx += 1
                     fcc_type = fcc_handler = b""
+                    s_scale = s_rate = 0
                     for cc3, _, d0, d1 in walk(payload, c0, c1):
                         if cc3 == b"strh":
                             fcc_type = payload[d0:d0 + 4]
                             fcc_handler = payload[d0 + 4:d0 + 8]
-                            scale, rate = struct.unpack_from(
+                            s_scale, s_rate = struct.unpack_from(
                                 "<II", payload, d0 + 20
                             )
-                        elif cc3 == b"strf" and fcc_type == b"vids":
+                        elif (
+                            cc3 == b"strf"
+                            and fcc_type == b"vids"
+                            and not have_vids  # first vids strl wins
+                        ):
                             _hs, w, h, _pl, bpp, comp = struct.unpack_from(
                                 "<IiiHHI", payload, d0
                             )
                             have_vids = True
+                            vids_stream = strl_idx
+                            scale, rate = s_scale, s_rate
                             if comp != 0 or fcc_handler not in (
                                 b"DIB ", b"\x00\x00\x00\x00", b"RGB "
                             ):
@@ -764,6 +774,11 @@ def _decode_avi(payload: bytes) -> dict:
                 for cc2, ltype2, c0, c1 in walk(payload, lo, hi):
                     if cc2 == b"LIST" and ltype2 == b"rec ":
                         stack.append((c0, c1))
+                    elif (
+                        vids_stream >= 0
+                        and cc2[:2] != b"%02d" % vids_stream
+                    ):
+                        continue  # another stream's data ('01wb' audio…)
                     elif cc2[2:4] == b"dc":
                         raise NotImplementedError(
                             "compressed AVI frame chunk — needs PyAV"

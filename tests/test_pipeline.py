@@ -583,6 +583,75 @@ def test_avi_decode_error_paths():
         M._decode_avi(bytes(dc))
 
 
+def test_avi_audio_stream_does_not_hijack_video_timing():
+    """ADVICE r9: an AVI whose audio strl FOLLOWS the video strl must
+    not overwrite the video dwScale/dwRate (fps would read 44100 fps),
+    and the audio stream's '01wb'/'01db'/'01dc' movi chunks must not
+    count as — or be mistaken for compressed — video frames."""
+    import struct
+
+    import numpy as np
+
+    from spark_eventhubs_spark.operators import multimodal as M
+
+    def chunk(cc, body):
+        return cc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    w = h = 2
+    frames = [
+        np.full((h, w, 3), 10, np.uint8), np.full((h, w, 3), 20, np.uint8)
+    ]
+    rasters = [M._dib_raster(f) for f in frames]
+    fb = len(rasters[0])
+    avih = struct.pack(
+        "<14I", 100000, fb * 10, 0, 0, len(rasters), 0, 2, fb,
+        w, h, 0, 0, 0, 0,
+    )
+
+    def strh(fcc, handler, scale, rate, length):
+        return fcc + handler + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0, scale, rate, 0, length, fb, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        )
+
+    def strl(*chunks):
+        body = b"strl" + b"".join(chunks)
+        return b"LIST" + struct.pack("<I", len(body)) + body
+
+    v_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb, 0, 0, 0, 0)
+    a_strf = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)  # PCM fmt
+    v_strl = strl(
+        chunk(b"strh", strh(b"vids", b"DIB ", 1, 10, len(rasters))),
+        chunk(b"strf", v_strf),
+    )
+    a_strl = strl(
+        chunk(b"strh", strh(b"auds", b"\x00" * 4, 1, 44100, 88200)),
+        chunk(b"strf", a_strf),
+    )
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + v_strl + a_strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    for audio_data_cc in (b"01wb", b"01db", b"01dc"):
+        movi_body = (
+            b"movi"
+            + chunk(b"00db", rasters[0])
+            + chunk(audio_data_cc, b"\x00" * 64)
+            + chunk(b"00db", rasters[1])
+        )
+        movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+        riff_body = b"AVI " + hdrl + movi
+        out = M._decode_avi(
+            b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+        )
+        assert out["n_frames"] == 2      # audio chunks are not frames
+        assert out["fps_e3"] == 10000    # video 10 fps, not 44100
+        assert out["duration_ms"] == 200
+    ref = M._decode_avi(M.encode_avi(frames, rate=10))
+    assert out["mean_luma_e2"] == ref["mean_luma_e2"]
+
+
 def test_video_container_without_video_stream_precise_diagnosis():
     """ADVICE r7: a payload with valid video-container magic but no
     video stream (audio-only MP4) must raise a ValueError naming the
