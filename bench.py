@@ -24,6 +24,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _replica_layout(sf_dir: str):
+    """Fingerprint stamped by scripts/build_replica.py (None for the
+    driver-generated testdata dirs, which carry no _layout.json)."""
+    try:
+        with open(os.path.join(sf_dir, "_layout.json")) as fh:
+            return json.load(fh).get("fingerprint")
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     # Measurement hygiene: flush pending filesystem writeback BEFORE
     # timing anything. A bench started minutes after a multi-GB write
@@ -65,18 +75,25 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("spark-eventhubs-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def _make_session():
+        s = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("spark-eventhubs-bench")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            )
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = _make_session()
 
     qs = entrymod.queries()
 
@@ -91,10 +108,37 @@ def main() -> None:
         hub_view_flat,
     )
 
+    # Session recycling (round-9 verdict item 2): forcing GC alone did
+    # not stop late-catalog cells at big sf from inflating up to 5x
+    # over their isolated medians (sf10 r9: text_cms_estimates 61.9 s
+    # in-catalog vs 11.75 s isolated) — accumulated block-manager
+    # registrations, broadcast blocks, and driver heap from 100+
+    # collect()s build pressure a GC can't fully clear while the
+    # SparkContext still references them. So the context itself is
+    # recycled every RECYCLE_N entries: spark.stop() + a fresh
+    # getOrCreate() in the SAME py4j JVM (JIT stays warm; block
+    # manager, broadcasts, and old heap refs drop). The recycle cost
+    # (~2-5 s) is real time but never enters `timings`, and every
+    # entry still pays its own untimed warmup run, so cells stay
+    # comparable across rounds while no cell's position in the catalog
+    # can put >RECYCLE_N entries of accumulated state behind it.
+    recycle_n = int(os.environ.get("SPARK_GRAFT_RECYCLE_N", "16"))
+    n_recycles = 0
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for qi, (name, fn) in enumerate(qs.items()):
+        if recycle_n > 0 and qi > 0 and qi % recycle_n == 0:
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = _make_session()
+            n_recycles += 1
+            try:  # untimed segment warmup, same as the run-0 warmup
+                qs["hub_offset_discovery"](spark, sf_dir).collect()
+            except Exception:
+                pass
         # Local-mode sessions accumulate broadcast blocks and shuffle
         # registrations that Spark's ContextCleaner only reclaims on
         # JVM GC — which a big mostly-idle heap rarely runs, so
@@ -289,6 +333,14 @@ def main() -> None:
         "sync_wait_s": sync_wait_s,
         "host_load_1m_pre": host_load_1m,
         "dirty_kb_pre_sync": dirty_kb,
+        # context recycled every N entries so per-cell figures can't
+        # inflate with catalog position (round-9 verdict item 2)
+        "session_recycle_n": recycle_n,
+        "session_recycles": n_recycles,
+        # replica layout fingerprint (round-9 verdict item 4): builds
+        # stamp _layout.json; two records comparing cells are on the
+        # same physical layout iff the fingerprints match
+        "replica_layout": _replica_layout(sf_dir),
         # the reference's worked latency example: 0.2 ms/event
         # (docs/slow-partition-adjustment-feature.md:35-42, BASELINE.md)
         "baseline_ms_per_event": 0.2,

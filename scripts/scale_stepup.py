@@ -73,6 +73,66 @@ KEYED = {
 COPY_AS_IS = ["region", "nation"]
 
 
+# Deterministic replica layout (round-9 verdict item 4): the r8->r9
+# sf10 pagerank cell moved 31.3 -> 63.9 s purely from replica
+# file/page-cache layout, so cross-round sf10 comparisons needed A/B
+# worktree re-measures to adjudicate. Fix: every keyed table is
+# written with a FIXED partition count (derived only from the source
+# file size and k), hash-partitioned on its unique key and sorted
+# within partitions on that key — two independently built replicas
+# produce the same file count with byte-identical contents (names
+# still carry write UUIDs, so the fingerprint hashes sorted sizes,
+# not names).
+SORT_KEYS = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _replica_partitions(src_bytes: int, k: int) -> int:
+    """Fixed file count: ~32 MB source-compressed bytes per file,
+    floored at 32 (one scan task per core on the local[32] box even
+    for small tables), capped at 512."""
+    return min(512, max(32, -(-src_bytes * k // (32 << 20))))
+
+
+def layout_fingerprint(out_dir: str) -> dict:
+    """Per-table sorted part-file sizes hashed into one fingerprint;
+    stamped into `<out_dir>/_layout.json` by build_upsampled and
+    copied into bench records so two runs on 'the same' replica are
+    provably on the same layout."""
+    import hashlib
+
+    tables = {}
+    for t in sorted(KEYED) + sorted(COPY_AS_IS):
+        p = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.isfile(p):
+            sizes = [os.path.getsize(p)]
+        elif os.path.isdir(p):
+            sizes = sorted(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if f.startswith("part-")
+            )
+        else:
+            continue
+        tables[t] = {
+            "n_files": len(sizes),
+            "bytes": sum(sizes),
+            "sizes_md5": hashlib.md5(repr(sizes).encode()).hexdigest()[:12],
+        }
+    whole = hashlib.md5(
+        repr(sorted(tables.items())).encode()
+    ).hexdigest()[:16]
+    return {"fingerprint": whole, "tables": tables}
+
+
 def build_upsampled(spark, k: int, out_dir: str) -> str:
     """Write the k-fold key-remapped replica of SRC into out_dir."""
     from pyspark.sql import functions as F
@@ -114,7 +174,20 @@ def build_upsampled(spark, k: int, out_dir: str) -> str:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        n_parts = _replica_partitions(
+            os.path.getsize(f"{SRC}/{t}.parquet"), k
+        )
+        sort_cols = SORT_KEYS.get(t, keys)
+        (
+            out.repartition(n_parts, F.col(sort_cols[0]))
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{t}.parquet")
+        )
+    fp = layout_fingerprint(out_dir)
+    fp["k"] = k
+    with open(os.path.join(out_dir, "_layout.json"), "w") as fh:
+        json.dump(fp, fh, indent=1)
     return out_dir
 
 
