@@ -2731,10 +2731,17 @@ def _rate_limited_hub_stream(
     run = next(_STREAM_RUNS)
     name = f"{tag}_{run}"
     n_events = _table(spark, sf_dir, "events").count()
+    # cap = n/4 + 64: the proportional limiter floors the per-partition
+    # share, so a bare n/4+1 cap strands up to one event per partition
+    # per trigger and the drain pays a FIFTH near-empty trigger just
+    # for the remainder (~0.5 s of pure trigger mechanics per twin,
+    # profiled in round 10). +64 absorbs the rounding for any
+    # realistic partition count while leaving the 4-batch carry-over
+    # shape — the thing under test — unchanged.
     sdf = (
         spark.readStream.format("eventhubs")
         .option("path", path)
-        .option("eventhubs.maxEventsPerTrigger", str(max(500, n_events // 4 + 1)))
+        .option("eventhubs.maxEventsPerTrigger", str(max(500, n_events // 4 + 64)))
         .option("eventhubs.consumerGroup", name)
         .load()
     )
