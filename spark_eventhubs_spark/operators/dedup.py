@@ -997,32 +997,39 @@ def exact_substring_spans(
     every wide stage keyed by gram hash or doc_id. Window state is
     per-doc and streams in sorted order, so skew is bounded by the
     longest document, not the corpus."""
-    from pyspark.sql import Window
-
-    from spark_eventhubs_spark.functions.hashing import md5_hash64
-
     L = min_len
     toks = tokens_col(F.col(text_col))
     n_g = F.size(toks) - F.lit(L) + 1
-    gram_arr = F.when(
-        n_g > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_g - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # _spread: a single-file corpus otherwise pins the tokenize +
-    # gram-materialize + md5 stage (the operator's CPU bulk) to ONE
-    # task — measured 4.98 s single-task vs sub-second spread at sf0.1
-    grams = _spread(df).select(
-        F.col("doc_id"), F.posexplode(gram_arr).alias("i", "gram")
-    ).select("doc_id", "i", md5_hash64(F.col("gram")).alias("h"))
+    # _spread (inside substring_grams): a single-file corpus otherwise
+    # pins the tokenize + gram-materialize + md5 stage (the operator's
+    # CPU bulk) to ONE task — measured 4.98 s single-task vs
+    # sub-second spread at sf0.1
+    grams = substring_grams(df, L, text_col)
     freq = grams.groupBy("h").agg(F.count("*").alias("n_occ"))
     covered = (
         grams.join(freq, "h")
         .where(F.col("n_occ") >= 2)
         .select("doc_id", "i", (F.col("i") + F.lit(L)).alias("e"))
     )
+    base = df.select(
+        F.col("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(n_g, F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return _span_profile_from_covered(base, covered)
+
+
+def _span_profile_from_covered(base: DataFrame, covered: DataFrame) -> DataFrame:
+    """Shared tail of the exact-substring operators: per-doc window
+    interval-union over the covered gram set (the islands pattern: a
+    gram opens a new span iff it starts past the running MAX of prior
+    span ends), then the per-doc profile. ``base`` carries (doc_id,
+    n_tokens, n_grams) plus any passthrough columns (e.g. the ingest
+    twin's batch_id); ``covered`` is (doc_id, i, e). Window state is
+    per-doc and streams in sorted order, so skew is bounded by the
+    longest document, not the corpus."""
+    from pyspark.sql import Window
+
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("i")
@@ -1054,13 +1061,14 @@ def exact_substring_spans(
         F.max(F.col("se") - F.col("s")).alias("longest_raw"),
         F.sum("ncs").alias("n_dup_grams_raw"),
     )
-    base = df.select(
-        F.col("doc_id"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.greatest(n_g, F.lit(0)).cast("long").alias("n_grams"),
-    )
+    passthrough = [c for c in base.columns if c != "doc_id"]
     return base.join(per_doc, "doc_id", "left").select(
         "doc_id",
+        *[
+            c
+            for c in passthrough
+            if c not in ("n_tokens", "n_grams")
+        ],
         "n_tokens",
         "n_grams",
         F.coalesce(F.col("n_dup_grams_raw"), F.lit(0))
@@ -1080,6 +1088,73 @@ def exact_substring_spans(
         .cast("long")
         .alias("dup_token_bp"),
     )
+
+
+def substring_grams(
+    df: DataFrame, min_len: int = SPAN_MIN_LEN, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, i, h) for every stride-1 ``min_len``-gram — the shared
+    front of :func:`exact_substring_spans` and the incremental ingest
+    path. Pure JVM transform/slice/posexplode plus the 60-bit md5
+    hash; :func:`_spread` keeps a small single-file corpus off one
+    task."""
+    from spark_eventhubs_spark.functions.hashing import md5_hash64
+
+    L = min_len
+    toks = tokens_col(F.col(text_col))
+    n_g = F.size(toks) - F.lit(L) + 1
+    gram_arr = F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_g - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, L), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _spread(df).select(
+        F.col("doc_id"), F.posexplode(gram_arr).alias("i", "gram")
+    ).select("doc_id", "i", md5_hash64(F.col("gram")).alias("h"))
+
+
+def exact_substring_spans_incremental(
+    batch_df: DataFrame,
+    store_df: DataFrame,
+    min_len: int = SPAN_MIN_LEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span profile for an INCOMING batch against a stored gram
+    frequency store (the daily-crawl shape of
+    :func:`exact_substring_spans`, mirroring
+    :func:`incremental_dedup`): a batch token position is covered iff
+    its gram's store count plus its own-batch count reaches 2 — the
+    corpus text is never rescanned; only the (h, n_occ) store is.
+    ``store_df`` is (h, n_occ), possibly multi-generation (appended
+    per ingested batch) — it is re-aggregated here. Scale: the store
+    probe is one co-partitioned join on the uniform 60-bit hash; the
+    batch side is one stride-1 explode of the NEW data only."""
+    L = min_len
+    toks = tokens_col(F.col(text_col))
+    n_g = F.size(toks) - F.lit(L) + 1
+    grams = substring_grams(batch_df, L, text_col)
+    own = grams.groupBy("h").agg(F.count("*").alias("n_own"))
+    stored = store_df.groupBy("h").agg(F.sum("n_occ").alias("n_store"))
+    total = own.join(stored, "h", "left").select(
+        "h",
+        (F.col("n_own") + F.coalesce(F.col("n_store"), F.lit(0))).alias(
+            "n_tot"
+        ),
+    )
+    covered = (
+        grams.join(total, "h")
+        .where(F.col("n_tot") >= 2)
+        .select("doc_id", "i", (F.col("i") + F.lit(L)).alias("e"))
+    )
+    base = batch_df.select(
+        F.col("doc_id"),
+        *[c for c in batch_df.columns if c not in ("doc_id", text_col)],
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(n_g, F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return _span_profile_from_covered(base, covered)
 
 
 def oracle_exact_substring_spans(min_len: int = SPAN_MIN_LEN) -> str:
@@ -1129,6 +1204,77 @@ SELECT b.doc_id,
     THEN (10000 * COALESCE(pd.dup_tokens, 0)) // len(b.toks)
     ELSE 0 END AS BIGINT) AS dup_token_bp
 FROM base b LEFT JOIN pd USING (doc_id)"""
+
+
+def oracle_substring_ingest(
+    min_len: int = SPAN_MIN_LEN,
+    split_mod: int = 10,
+    corpus_buckets: int = 8,
+    n_batches: int = 4,
+) -> str:
+    """Batch oracle for the streaming substring-ingest twin: a new
+    doc's position is covered iff its gram count over corpus + batches
+    ingested up to and including the doc's OWN batch reaches 2 — the
+    cumulative-store semantics the foreachBatch drain implements."""
+    from spark_eventhubs_spark.functions.hashing import oracle_md5_hash64
+    from spark_eventhubs_spark.operators.text import _oracle_tokens
+
+    L = min_len
+    hb = oracle_md5_hash64("('ingest|' || CAST(doc_id AS VARCHAR))")
+    hk = oracle_md5_hash64("('sbatch|' || CAST(doc_id AS VARCHAR))")
+    hg = oracle_md5_hash64(f"array_to_string(toks[i+1 : i+{L}], ' ')")
+    return f"""WITH base AS (
+  SELECT doc_id, {_oracle_tokens('text')} AS toks,
+    {hb} % {split_mod} AS b, {hk} % {n_batches} AS k
+  FROM documents
+), gr AS (
+  SELECT doc_id, b, k,
+    unnest(range(0, GREATEST(len(toks) - {L} + 1, 0))) AS i, toks
+  FROM base
+), g AS (
+  SELECT doc_id, b, k, i, {hg} AS h FROM gr
+), co AS (
+  SELECT h, COUNT(*) AS n FROM g WHERE b < {corpus_buckets} GROUP BY 1
+), bo AS (
+  SELECT h, k, COUNT(*) AS n FROM g WHERE b >= {corpus_buckets} GROUP BY 1, 2
+), cum AS (
+  SELECT h, k, SUM(n) OVER (PARTITION BY h ORDER BY k) AS cn FROM bo
+), cov AS (
+  SELECT g.doc_id, g.i, g.i + {L} AS e
+  FROM g
+  JOIN cum ON g.h = cum.h AND g.k = cum.k
+  LEFT JOIN co ON g.h = co.h
+  WHERE g.b >= {corpus_buckets} AND cum.cn + COALESCE(co.n, 0) >= 2
+), isl AS (
+  SELECT doc_id, i, e,
+    CASE WHEN MAX(e) OVER w IS NULL OR i > MAX(e) OVER w THEN 1 ELSE 0 END AS ni
+  FROM cov
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT doc_id, i, e,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM isl
+), sp AS (
+  SELECT doc_id, isl, MIN(i) AS s, MAX(e) AS se, COUNT(*) AS ncs
+  FROM isl2 GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(se - s) AS dup_tokens,
+    MAX(se - s) AS longest, SUM(ncs) AS n_dup_grams
+  FROM sp GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.k AS BIGINT) AS batch_id,
+  CAST(len(b.toks) AS BIGINT) AS n_tokens,
+  CAST(GREATEST(len(b.toks) - {L} + 1, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(pd.longest, 0) AS BIGINT) AS longest_span_toks,
+  CAST(CASE WHEN len(b.toks) > 0
+    THEN (10000 * COALESCE(pd.dup_tokens, 0)) // len(b.toks)
+    ELSE 0 END AS BIGINT) AS dup_token_bp
+FROM base b LEFT JOIN pd USING (doc_id)
+WHERE b.b >= {corpus_buckets}"""
 
 
 # ---- incremental ingest dedup ----

@@ -26,6 +26,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_eventhubs_spark.functions import hashing as H
 from spark_eventhubs_spark.operators import clustering as CL
 from spark_eventhubs_spark.operators import corpus as C
 from spark_eventhubs_spark.operators import dedup as D
@@ -2850,6 +2851,159 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-keyed agg + co-partitioned join, windows bounded per doc —
     no global sort, no all-pairs."""
     return D.exact_substring_spans(_table(spark, sf_dir, "documents"))
+
+
+def _substring_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ingest-time corpus gram store for the substring-ingest twin:
+    the 80% corpus split's (h, n_occ) aggregate, written once per
+    (session, sf_dir) — the probe never rescans corpus text."""
+    import os as _os
+
+    def _build():
+        from spark_eventhubs_spark import workdirs as _wd
+
+        d = _os.path.join(_wd.scratch_dir("seh_substore_"), "store")
+        docs = _table(spark, sf_dir, "documents")
+        corpus = docs.where(
+            F.pmod(
+                H.md5_hash64(
+                    F.concat(F.lit("ingest|"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(10),
+            )
+            < 8
+        ).select("doc_id", "text")
+        (
+            D.substring_grams(corpus)
+            .groupBy("h")
+            .agg(F.count("*").cast("long").alias("n_occ"))
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        return d
+
+    return _validated_scratch_memo(spark, ("substore_dir", sf_dir), _build)
+
+
+def _substring_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The 20% new-docs split written as FOUR single-file parquet
+    batches with strictly increasing mtimes, so the file stream source
+    (maxFilesPerTrigger=1, oldest-first) replays them as four ordered
+    micro-batches — the daily-crawl arrival sequence."""
+    import os as _os
+    import shutil as _sh
+
+    def _build():
+        from spark_eventhubs_spark import workdirs as _wd
+
+        root = _wd.scratch_dir("seh_subbatch_")
+        d = _os.path.join(root, "arrivals")
+        _os.makedirs(d, exist_ok=True)
+        docs = _table(spark, sf_dir, "documents")
+        hashed = docs.select(
+            "doc_id",
+            F.pmod(
+                H.md5_hash64(
+                    F.concat(F.lit("sbatch|"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(4),
+            )
+            .cast("long")
+            .alias("batch_id"),
+            "text",
+        ).where(
+            F.pmod(
+                H.md5_hash64(
+                    F.concat(F.lit("ingest|"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(10),
+            )
+            >= 8
+        )
+        import time as _time
+
+        now = _time.time()
+        for k in range(4):
+            tmp = _os.path.join(root, f"tmp{k}")
+            hashed.where(F.col("batch_id") == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                f for f in _os.listdir(tmp) if f.startswith("part-")
+            )
+            dst = _os.path.join(d, f"b{k}.parquet")
+            _sh.move(_os.path.join(tmp, part), dst)
+            _sh.rmtree(tmp, ignore_errors=True)
+            # strictly increasing, distinct-second mtimes pin the
+            # source's oldest-first replay order
+            _os.utime(dst, (now - 40 + 10 * k, now - 40 + 10 * k))
+        return d
+
+    return _validated_scratch_memo(spark, ("subbatch_dir", sf_dir), _build)
+
+
+@register("stream_substring_ingest", D.oracle_substring_ingest())
+def stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental exact-substring dedup — the daily-crawl
+    twin of ``dedup_substring_spans``, mirroring
+    ``dedup_incremental_ingest``: each arriving micro-batch of NEW
+    documents is span-profiled against the stored gram frequency
+    store (corpus + every batch ingested before it + the batch
+    itself), then its own gram counts are appended to the store —
+    corpus text is never rescanned. Four single-file parquet arrivals
+    replay through a real file-source stream (maxFilesPerTrigger=1,
+    availableNow) into a foreachBatch probe — foreachBatch because
+    the store is a TABLE, not state-store state: at 100 TB the gram
+    store is corpus-sized and lives in storage, exactly like the
+    incremental-dedup fingerprint set. Exact under the batch oracle's
+    cumulative-store semantics (a doc's coverage counts corpus +
+    batches <= its own). Scale: per trigger one explode of the NEW
+    slice only + one co-partitioned join on the uniform 60-bit hash;
+    the store append is an (h, n_occ) aggregate, no text."""
+    import os as _os
+
+    from spark_eventhubs_spark import workdirs as _wd
+
+    store0 = _substring_store_dir(spark, sf_dir)
+    arrivals = _substring_batches_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    delta = _os.path.join(_wd.scratch_dir("seh_subdelta_"), "delta")
+    out = _os.path.join(_wd.scratch_dir("seh_subout_"), "out")
+    ck = _wd.scratch_dir("seh_ckpt_")
+    # empty first generation so the union schema exists before batch 0
+    spark.createDataFrame([], "h bigint, n_occ bigint").write.parquet(delta)
+
+    def _probe(bdf, _bid):
+        store = spark.read.parquet(store0).unionByName(
+            spark.read.parquet(delta)
+        )
+        D.exact_substring_spans_incremental(bdf, store).write.mode(
+            "append"
+        ).parquet(out)
+        D.substring_grams(bdf).groupBy("h").agg(
+            F.count("*").cast("long").alias("n_occ")
+        ).write.mode("append").parquet(delta)
+
+    try:
+        q = (
+            spark.readStream.schema("doc_id bigint, batch_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(arrivals)
+            .writeStream.foreachBatch(_probe)
+            .queryName(f"cat_subing_{run}")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("substring-ingest drain timed out after 300s")
+    finally:
+        _wd.release(ck)
+    return spark.read.parquet(out).select(
+        "doc_id", "batch_id", "n_tokens", "n_grams", "n_dup_grams",
+        "n_spans", "longest_span_toks", "dup_token_bp",
+    )
 
 
 @register("dedup_span_profile", D.oracle_duplicated_span_profile())
