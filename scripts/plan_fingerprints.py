@@ -45,11 +45,53 @@ _WS = re.compile(r"\s+")
 _NODE = re.compile(r"^\((\d+)\) (\S[^\n]*?)(?: \[codegen id : \d+\])?$")
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _canon_partitioning(line: str) -> str:
+    """The distinct-aggregate rewrite emits hashpartitioning keys in a
+    session-history-dependent ORDER (observed: q21's gid expansion
+    swaps l_suppkey with its CASE twin across fresh sessions). The
+    partitioning is a SET of keys, so sort them (depth-aware: the
+    keys may themselves contain parens)."""
+    tag = "hashpartitioning("
+    start = line.find(tag)
+    if start < 0:
+        return line
+    i, depth = start + len(tag), 1
+    while i < len(line) and depth:
+        if line[i] == "(":
+            depth += 1
+        elif line[i] == ")":
+            depth -= 1
+        i += 1
+    inner = _split_top_level(line[start + len(tag): i - 1])
+    if len(inner) > 1:
+        inner = sorted(inner[:-1]) + [inner[-1]]  # last item = numParts
+    return line[:start] + tag + ", ".join(inner) + ")" + line[i:]
+
+
 def _norm(line: str) -> str:
     line = _EXPR_ID.sub("#_", line)
     line = _PLAN_ID.sub("", line)
     line = _CODEGEN.sub("", line)
     line = _RDD_ID.sub("[id=_]", line)
+    line = _canon_partitioning(line)
     return _WS.sub(" ", line).strip()
 
 
