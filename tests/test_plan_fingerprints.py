@@ -26,6 +26,33 @@ def _tool():
     return mod
 
 
+def test_guard_catches_a_lost_broadcast(spark):
+    """Negative control (round-10 verdict item 1): the fingerprint must
+    actually CHANGE when a broadcast is deliberately removed, else the
+    guard guards nothing. a1_inactive_customers relies on
+    auto-broadcast (no explicit hint), so disabling the threshold
+    demotes its BroadcastHashJoin — the fingerprint must differ from
+    golden and the golden must carry the BroadcastExchange."""
+    import __spark_entry__ as entrymod
+
+    from spark_eventhubs_spark.plans.hubview import clear_cached_plans
+
+    pf = _tool()
+    golden = json.load(open(pf.GOLDEN))["a1_inactive_customers"]
+    assert any(f.startswith("BroadcastExchange") for f in golden)
+    fn = entrymod.queries()["a1_inactive_customers"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    clear_cached_plans(spark, "query")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = pf.fingerprint_df(fn(spark, pf.SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        clear_cached_plans(spark, "query")
+    assert got != golden
+    assert not any(f.startswith("BroadcastExchange") for f in got)
+
+
 def test_plan_fingerprints_match_golden(spark):
     pf = _tool()
     golden = json.load(open(pf.GOLDEN))
