@@ -95,6 +95,20 @@ SORT_KEYS = {
 }
 
 
+def _src_bytes(path: str) -> int:
+    """Data bytes of a parquet table that may be a single file OR a
+    directory layout (e.g. a previously built replica): getsize on a
+    directory returns the inode size (~4 KB), which would silently
+    collapse every table to the 32-file floor."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    )
+
+
 def _replica_partitions(src_bytes: int, k: int) -> int:
     """Fixed file count: ~32 MB source-compressed bytes per file,
     floored at 32 (one scan task per core on the local[32] box even
@@ -174,9 +188,7 @@ def build_upsampled(spark, k: int, out_dir: str) -> str:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        n_parts = _replica_partitions(
-            os.path.getsize(f"{SRC}/{t}.parquet"), k
-        )
+        n_parts = _replica_partitions(_src_bytes(f"{SRC}/{t}.parquet"), k)
         sort_cols = SORT_KEYS.get(t, keys)
         (
             out.repartition(n_parts, F.col(sort_cols[0]))

@@ -2971,18 +2971,32 @@ def stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _os.path.join(_wd.scratch_dir("seh_subout_"), "out")
     ck = _wd.scratch_dir("seh_ckpt_")
     # empty first generation so the union schema exists before batch 0
-    spark.createDataFrame([], "h bigint, n_occ bigint").write.parquet(delta)
+    spark.createDataFrame([], "h bigint, n_occ bigint").write.parquet(
+        _os.path.join(delta, "b_init")
+    )
 
-    def _probe(bdf, _bid):
+    def _probe(bdf, bid):
+        # Idempotent under micro-batch re-execution (restart against a
+        # reused checkpoint): every write lands at a DETERMINISTIC
+        # per-epoch directory in overwrite mode, and the store read
+        # unions only deltas from epochs STRICTLY BEFORE this one — a
+        # re-run of epoch k overwrites its own stale output and never
+        # sees its own previous delta, so gram counts can't double.
+        prev = [
+            _os.path.join(delta, d)
+            for d in _os.listdir(delta)
+            if d == "b_init"
+            or (d[0] == "b" and d[1:].isdigit() and int(d[1:]) < bid)
+        ]
         store = spark.read.parquet(store0).unionByName(
-            spark.read.parquet(delta)
+            spark.read.parquet(*prev)
         )
         D.exact_substring_spans_incremental(bdf, store).write.mode(
-            "append"
-        ).parquet(out)
+            "overwrite"
+        ).parquet(_os.path.join(out, f"b{bid}"))
         D.substring_grams(bdf).groupBy("h").agg(
             F.count("*").cast("long").alias("n_occ")
-        ).write.mode("append").parquet(delta)
+        ).write.mode("overwrite").parquet(_os.path.join(delta, f"b{bid}"))
 
     try:
         q = (
@@ -3000,7 +3014,7 @@ def stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("substring-ingest drain timed out after 300s")
     finally:
         _wd.release(ck)
-    return spark.read.parquet(out).select(
+    return spark.read.parquet(_os.path.join(out, "*")).select(
         "doc_id", "batch_id", "n_tokens", "n_grams", "n_dup_grams",
         "n_spans", "longest_span_toks", "dup_token_bp",
     )
