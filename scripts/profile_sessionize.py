@@ -40,82 +40,95 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     configure_session(spark)
 
-    t_all = time.time()
-    path = Q._sessionize_hub_dir(spark, sf_dir)
-    sdf, name = Q._rate_limited_hub_stream(spark, sf_dir, "prof_ssess", path=path)
-    etype = F.col("properties").getItem("event_type")
-    sdf = sdf.where(
-        (etype != "sentinel") | (F.col("properties").getItem("run") == name)
-    )
-    bounds = Q.load_hub_flat(spark, sf_dir).agg(
-        F.min("enq_us").alias("lo"), F.max("enq_us").alias("hi")
-    ).first()
-    span_h = int((bounds["hi"] - bounds["lo"]) // 3_600_000_000) + 2
-    gap_str = f"{Q._SESSION_GAP_US // 60_000_000} minutes"
-    sess = streaming_sessionize(sdf, gap=gap_str, delay=f"{span_h} hours")
-    t_setup = time.time() - t_all
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ck = _wd.scratch_dir("seh_ckpt_")
-    marks = {}
-    try:
-        t0 = time.time()
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(processingTime="50 milliseconds")
-            .start()
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    for rep in range(reps):
+        t_all = time.time()
+        path = Q._sessionize_hub_dir(spark, sf_dir)
+        sdf, name = Q._rate_limited_hub_stream(spark, sf_dir, "prof_ssess", path=path)
+        etype = F.col("properties").getItem("event_type")
+        sdf = sdf.where(
+            (etype != "sentinel") | (F.col("properties").getItem("run") == name)
         )
-        marks["start_s"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        q.processAllAvailable()
-        marks["backlog_drain_s"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        sent = spark.createDataFrame([("sentinel",)], "body string").select(
-            "body",
-            F.create_map(
-                F.lit("user_id"), F.lit("zz_sentinel"),
-                F.lit("event_type"), F.lit("sentinel"),
-                F.lit("run"), F.lit(name),
-            ).alias("properties"),
-        )
-        sent.write.format("eventhubs").mode("append").option("path", path).save()
-        marks["sentinel_write_s"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        q.processAllAvailable()
-        marks["sentinel_flush_s"] = round(time.time() - t0, 3)
-        progress = [json.loads(p) for p in q.recentProgress]
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _wd.release(ck)
-    t0 = time.time()
-    n = spark.sql(f"SELECT COUNT(*) FROM {name}").first()[0]
-    marks["final_read_s"] = round(time.time() - t0, 3)
-    marks["setup_s"] = round(t_setup, 3)
-    marks["total_s"] = round(time.time() - t_all, 3)
-    marks["rows"] = n
+        bounds = Q.load_hub_flat(spark, sf_dir).agg(
+            F.min("enq_us").alias("lo"), F.max("enq_us").alias("hi")
+        ).first()
+        span_h = int((bounds["hi"] - bounds["lo"]) // 3_600_000_000) + 2
+        gap_str = f"{Q._SESSION_GAP_US // 60_000_000} minutes"
+        sess = streaming_sessionize(sdf, gap=gap_str, delay=f"{span_h} hours")
+        t_setup = time.time() - t_all
 
-    print(json.dumps(marks, indent=1))
-    for p in progress:
-        dur = p.get("durationMs", {})
-        so = (p.get("stateOperators") or [{}])[0]
-        print(json.dumps({
-            "batchId": p.get("batchId"),
-            "numInputRows": p.get("numInputRows"),
-            "durationMs": dur,
-            "stateRows": so.get("numRowsTotal"),
-            "stateUpdated": so.get("numRowsUpdated"),
-            "commitMs": (so.get("customMetrics") or {}).get(
-                "stateOnCurrentVersionSizeBytes"
-            ),
-            "allUpdatesMs": so.get("allUpdatesTimeMs"),
-            "allRemovalsMs": so.get("allRemovalsTimeMs"),
-            "commitTimeMs": so.get("commitTimeMs"),
-        }))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("PROF_PARTS", "8"))
+        if os.environ.get("PROF_ROCKS"):
+            spark_sess_conf_prev = None
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+        ck = _wd.scratch_dir("seh_ckpt_")
+        marks = {}
+        try:
+            t0 = time.time()
+            q = (
+                sess.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(processingTime=os.environ.get("PROF_TRIG", "50 milliseconds"))
+                .start()
+            )
+            marks["start_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            q.processAllAvailable()
+            marks["backlog_drain_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            sent = spark.createDataFrame([("sentinel",)], "body string").select(
+                "body",
+                F.create_map(
+                    F.lit("user_id"), F.lit("zz_sentinel"),
+                    F.lit("event_type"), F.lit("sentinel"),
+                    F.lit("run"), F.lit(name),
+                ).alias("properties"),
+            )
+            sent.write.format("eventhubs").mode("append").option("path", path).save()
+            marks["sentinel_write_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            q.processAllAvailable()
+            marks["sentinel_flush_s"] = round(time.time() - t0, 3)
+            # PySpark 4: recentProgress yields StreamingQueryProgress
+            # objects (json attr), not JSON strings
+            progress = [
+                json.loads(p.json if hasattr(p, "json") else p)
+                for p in q.recentProgress
+            ]
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            _wd.release(ck)
+        t0 = time.time()
+        n = spark.sql(f"SELECT COUNT(*) FROM {name}").first()[0]
+        marks["final_read_s"] = round(time.time() - t0, 3)
+        marks["setup_s"] = round(t_setup, 3)
+        marks["total_s"] = round(time.time() - t_all, 3)
+        marks["rows"] = n
+
+        print(json.dumps(marks, indent=1))
+        for p in progress:
+            dur = p.get("durationMs", {})
+            so = (p.get("stateOperators") or [{}])[0]
+            print(json.dumps({
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "durationMs": dur,
+                "stateRows": so.get("numRowsTotal"),
+                "stateUpdated": so.get("numRowsUpdated"),
+                "commitMs": (so.get("customMetrics") or {}).get(
+                    "stateOnCurrentVersionSizeBytes"
+                ),
+                "allUpdatesMs": so.get("allUpdatesTimeMs"),
+                "allRemovalsMs": so.get("allRemovalsTimeMs"),
+                "commitTimeMs": so.get("commitTimeMs"),
+            }))
     spark.stop()
 
 

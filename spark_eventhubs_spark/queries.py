@@ -2678,7 +2678,11 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
             finally:
                 q.stop()
         else:
-            q = writer.trigger(processingTime="50 milliseconds").start()
+            # 5 ms cadence: batch sizing comes from maxEventsPerTrigger,
+            # not the interval — a shorter tick only removes inter-batch
+            # idle (profiled round 11: ~1.3 s of pure cadence slack per
+            # sessionize drain at 50 ms; same 4-batch carry-over shape)
+            q = writer.trigger(processingTime="5 milliseconds").start()
             try:
                 # processAllAvailable has no timeout parameter: run it
                 # in a watchdog thread so a stalled source fails loudly
@@ -3252,7 +3256,24 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions; the watermark delay additionally exceeds the corpus
     time span, so mid-drain cross-partition skew can't lose events
     either. Scale: state is O(open sessions); one shuffle on the
-    session key."""
+    session key.
+
+    Profiled floor (round 11, sf0.1 idle host, per-trigger progress):
+    ~8.5 s isolated median = ~4.3 s of trigger work across the 4
+    throttled batches — dominated by the session-merge state operator
+    rewriting EVERY open session each batch (numRowsUpdated ==
+    numRowsTotal: events interleave uniformly by user, so every
+    user's whole session list is rewritten per trigger; and by design
+    the watermark delay exceeds the corpus span, so no session can
+    close before the sentinel) — plus ~1 s single-row sentinel write
+    (Python DataSource write path), ~1.1 s watermark-flush batch
+    emitting all ~95k sessions, ~1 s setup/final read and the
+    explicit flush-completion wait (see below). The 4-batch
+    carry-over shape and oracle-exactness pin the first term; RocksDB
+    (worse: full-state rewrites favor the in-memory store), 16/4
+    state partitions, and trigger cadence (50 ms -> 5 ms, kept:
+    -1.3 s pure idle) were all measured
+    (scripts/profile_sessionize.py)."""
     from spark_eventhubs_spark.streaming.stateful import streaming_sessionize
 
     path = _sessionize_hub_dir(spark, sf_dir)
@@ -3288,7 +3309,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ck)
-            .trigger(processingTime="50 milliseconds")
+            .trigger(processingTime="5 milliseconds")
             .start()
         )
         import threading as _th
@@ -3304,7 +3325,28 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("properties"),
             )
             sent.write.format("eventhubs").mode("append").option("path", path).save()
-            q.processAllAvailable()  # sentinel + watermark flush
+            q.processAllAvailable()  # sentinel ingested
+            # processAllAvailable only guarantees DATA is processed;
+            # the watermark-driven append-mode emission happens in a
+            # no-data batch AFTER the batch that read the sentinel, and
+            # stop() can kill that batch mid-flight (latent race,
+            # surfaced by the 5 ms trigger cadence in round 11). Flush
+            # is complete exactly when every real session has been
+            # closed and evicted — i.e. the state operator holds only
+            # the sentinel's own still-open session. Poll for that.
+            import time as _time
+
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                lp = q.lastProgress
+                ops = (lp or {}).get("stateOperators") or []
+                if ops and ops[0].get("numRowsTotal", 2**63) <= 1:
+                    break
+                _time.sleep(0.05)
+            else:
+                raise RuntimeError(
+                    f"{name}: watermark flush did not complete within 120s"
+                )
 
         t = _th.Thread(target=_drain, daemon=True)
         t.start()
