@@ -772,6 +772,69 @@ SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS component_id
 FROM reach GROUP BY u"""
 
 
+def keep_best_representative(
+    df: DataFrame, threshold_bp: int = 7000
+) -> DataFrame:
+    """The dedup pipeline's final decision: per near-dup cluster
+    (:func:`near_dup_components`), keep exactly ONE representative —
+    the longest text, doc_id-ascending tiebreak (deterministic, and
+    the cheap proxy every production curation pass starts from:
+    near-dups differ by truncation/boilerplate, so the longest member
+    is the most complete). Emits (doc_id, component_id, n_chars,
+    keep) for every clustered doc; singletons (docs in no verified
+    pair) are implicitly kept, exactly as in ``dedup_components``.
+
+    Scale: the row_number window partitions by component_id over ONLY
+    the clustered subset (|docs in verified pairs|, minuscule next to
+    the corpus) — one narrow shuffle on the uniform component key;
+    components are short chains, so no partition skew. The join back
+    to documents projects two columns and broadcasts nothing wide.
+    """
+    from pyspark.sql import Window
+
+    comp = near_dup_components(df, threshold_bp=threshold_bp)
+    # broadcast the LABELS side: |clustered docs| is bounded by the
+    # verified pair set, while the documents projection scales with
+    # the corpus — auto-broadcast picks the wrong side at test SF
+    # where both fit
+    scored = df.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).join(F.broadcast(comp), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "component_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
+def oracle_keep_best(threshold_bp: int = 7000) -> str:
+    nd = oracle_near_dup_pairs(threshold_bp=threshold_bp)
+    return f"""WITH RECURSIVE nd AS (
+{nd}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM nd
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM nd
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u
+)
+SELECT c.doc_id, CAST(c.component_id AS BIGINT) AS component_id,
+  CAST(length(d.text) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN ROW_NUMBER() OVER (
+      PARTITION BY c.component_id
+      ORDER BY length(d.text) DESC, c.doc_id ASC) = 1
+    THEN 1 ELSE 0 END AS INT) AS keep
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id"""
+
+
 def exploded_shingles(df: DataFrame, text_col: str = "text",
                       k: int = DEFAULT_SHINGLE) -> DataFrame:
     """(doc_id, shingle): per-doc DISTINCT k-token shingle strings,

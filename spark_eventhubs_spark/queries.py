@@ -2260,6 +2260,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_components(_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_keep_best", D.oracle_keep_best())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-then-keep-one decision dedup_components exists for:
+    one quality-ranked representative per near-dup cluster (longest
+    text, doc_id tiebreak), keep/drop flag per clustered doc — the
+    ledger a curation pass applies as an anti-join. Oracle extends the
+    reachability closure with the identical ranking window. Scale:
+    one narrow row_number window on component_id over only the
+    clustered subset; no new wide shuffle
+    (operators/dedup.py:keep_best_representative)."""
+    return D.keep_best_representative(_table(spark, sf_dir, "documents"))
+
+
 _SRC_QUALITY_ORACLE = f"""WITH t AS (
   SELECT source,
     CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
