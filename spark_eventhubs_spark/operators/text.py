@@ -999,3 +999,148 @@ SELECT p.token,
 FROM probe p
 LEFT JOIN tc ON tc.token = p.token
 LEFT JOIN est ON est.token = p.token"""
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language Zipf-law fit: OLS slope of ln(frequency) on
+    ln(rank) over the token frequency spectrum. Natural text sits
+    near slope -1; machine-generated or templated corpora drift off
+    it, so the slope is a cheap corpus-health / synthetic-text gate
+    (used alongside the Gopher and perplexity filters).
+
+    Determinism: ln(rank) and ln(count) are quantized per row to e3
+    BEFORE the sums (x_e3 = floor(1000*ln(rank)) fits well inside a
+    long: |x_e3| <= ~5e4, products <= ~2.5e9/row), so every moment
+    (n, Sx, Sy, Sxy, Sxx) is exact integer arithmetic; the final
+    slope is one double expression over those exact integers, which
+    IEEE-rounds identically in Spark and DuckDB. Rank ties break on
+    the token string, so the spectrum is reproducible.
+
+    Scale: explode -> (lang, token) count is the postings shuffle;
+    the rank window sorts only the per-language VOCABULARY (types,
+    not occurrences — orders of magnitude smaller than the corpus);
+    the moment aggregation is a 5-column partial agg down to |langs|
+    rows. No all-pairs, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    counts = (
+        df.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    xy = counts.select(
+        "lang",
+        F.floor(F.lit(1000.0) * F.log(F.row_number().over(w).cast("double")))
+        .cast("long").alias("x_e3"),
+        F.floor(F.lit(1000.0) * F.log(F.col("cnt").cast("double")))
+        .cast("long").alias("y_e3"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("x_e3").alias("sx"),
+        F.sum("y_e3").alias("sy"),
+        F.sum(F.col("x_e3") * F.col("y_e3")).alias("sxy"),
+        F.sum(F.col("x_e3") * F.col("x_e3")).alias("sxx"),
+    )
+    num = m.n_types.cast("double") * m.sxy.cast("double") - (
+        m.sx.cast("double") * m.sy.cast("double")
+    )
+    den = m.n_types.cast("double") * m.sxx.cast("double") - (
+        m.sx.cast("double") * m.sx.cast("double")
+    )
+    return (
+        m.where(F.col("n_types") >= 2)
+        .select(
+            "lang",
+            "n_types",
+            F.floor(F.lit(1000.0) * num / den).cast("long").alias("slope_e3"),
+        )
+    )
+
+
+def oracle_zipf_slope() -> str:
+    toks = _oracle_tokens("text")
+    return f"""WITH tok AS (
+  SELECT lang, unnest({toks}) AS token FROM documents
+), counts AS (
+  SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), xy AS (
+  SELECT lang,
+    CAST(FLOOR(1000.0 * ln(CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY cnt DESC, token ASC) AS DOUBLE))) AS BIGINT) AS x_e3,
+    CAST(FLOOR(1000.0 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y_e3
+  FROM counts
+), m AS (
+  SELECT lang, COUNT(*) AS n_types,
+    CAST(SUM(x_e3) AS BIGINT) AS sx, CAST(SUM(y_e3) AS BIGINT) AS sy,
+    CAST(SUM(x_e3 * y_e3) AS BIGINT) AS sxy,
+    CAST(SUM(x_e3 * x_e3) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT lang, n_types,
+  CAST(FLOOR(1000.0 * (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT) AS slope_e3
+FROM m WHERE n_types >= 2"""
+
+
+def doc_perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing: score each document's
+    perplexity under the corpus-trained bigram MLE (bigram_lm_scores)
+    and split every language into head / middle / tail terciles by
+    ascending perplexity — the exact shape CCNet uses to keep the
+    "head" of each language for LM training data.
+
+    ppl_e3 = floor(1000 * exp(nll_e3 / 1000)) is one double op over
+    an integer, identical in both engines; terciles use NTILE(3)
+    over (lang, ORDER BY nll_e3, doc_id) — a standard-SQL function
+    with identical bucket-balancing semantics in Spark and DuckDB
+    and a fully deterministic order (doc_id tiebreak).
+
+    Scale: the LM scoring is the postings-shaped plan documented on
+    bigram_lm_scores; the tercile window sorts per LANGUAGE (bounded
+    key count — the largest language's docs sort within its
+    partitions). For a skew-critical deployment the same split falls
+    out of per-language approx quantiles + a broadcast join, at the
+    cost of the oracle-exact tercile boundary.
+    """
+    from pyspark.sql import Window
+
+    lm = bigram_lm_scores(df, text_col)
+    w = Window.partitionBy("lang").orderBy(F.asc("nll_e3"), F.asc("doc_id"))
+    scored = (
+        lm.join(df.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(
+                F.lit(1000.0) * F.exp(F.col("nll_e3").cast("double") / F.lit(1000.0))
+            ).cast("long").alias("ppl_e3"),
+            F.ntile(3).over(w).alias("tercile"),
+        )
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select("doc_id", "lang", "ppl_e3", bucket.alias("bucket"))
+
+
+def oracle_doc_perplexity_buckets() -> str:
+    lm = oracle_bigram_lm_scores()
+    return f"""WITH lm AS ({lm}
+), scored AS (
+  SELECT lm.doc_id, d.lang,
+    CAST(FLOOR(1000.0 * EXP(CAST(lm.nll_e3 AS DOUBLE) / 1000.0)) AS BIGINT) AS ppl_e3,
+    NTILE(3) OVER (PARTITION BY d.lang ORDER BY lm.nll_e3 ASC, lm.doc_id ASC) AS tercile
+  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+)
+SELECT doc_id, lang, ppl_e3,
+  CASE WHEN tercile = 1 THEN 'head' WHEN tercile = 2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM scored"""

@@ -4274,3 +4274,142 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT mktsegment, cnt, sum_value_cents FROM {name}"
     )
+
+
+@register("text_zipf_slope", T.oracle_zipf_slope())
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf-law slope over the token frequency spectrum
+    (operators/text.py:zipf_slope): OLS of ln(freq) on ln(rank) with
+    per-row e3 quantization so every regression moment is exact
+    integer math — a corpus-health gate for synthetic/templated text
+    alongside the Gopher and perplexity filters. Scale: postings
+    shuffle to (lang, token) counts, rank window over the per-language
+    VOCABULARY only, then a 5-moment partial agg to |langs| rows."""
+    return T.zipf_slope(_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_perplexity_buckets", T.oracle_doc_perplexity_buckets())
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: per-document bigram-LM perplexity
+    (text.py:bigram_lm_scores) terciled WITHIN each language by
+    NTILE(3) — the canonical LM-data curation shape (keep the head,
+    downsample the tail). Deterministic: integer nll, one double exp,
+    doc_id tiebreak in the tercile order. Scale notes on
+    operators/text.py:doc_perplexity_buckets."""
+    return T.doc_perplexity_buckets(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle_hub_cte()
+    + """, ev AS (
+  SELECT user_id_str AS user_id,
+    CAST(enq_us // 3600000000 AS BIGINT) AS hour_bucket,
+    value_cents
+  FROM hub
+), b AS (
+  SELECT user_id, hour_bucket,
+    CAST(SUM(value_cents) // COUNT(*) AS BIGINT) AS v
+  FROM ev GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(hour_bucket) AS mn, MAX(hour_bucket) AS mx
+  FROM b GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(range(mn, mx + 1)) AS hour_bucket FROM span
+), j AS (
+  SELECT g.user_id, g.hour_bucket, b.v
+  FROM grid g LEFT JOIN b
+    ON g.user_id = b.user_id AND g.hour_bucket = b.hour_bucket
+), w AS (
+  SELECT user_id, hour_bucket, v,
+    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+      ORDER BY hour_bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour_bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY hour_bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+      ORDER BY hour_bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour_bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY hour_bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT user_id, hour_bucket,
+  CAST(CASE WHEN v IS NOT NULL THEN v
+       ELSE CAST(FLOOR(pv + (nv - pv) * (hour_bucket - ph)
+                       / (nh - ph)) AS BIGINT) END AS BIGINT) AS value_e2,
+  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS interpolated
+FROM w""",
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + linear interpolation — the hypertable
+    `time_bucket_gapfill(...) + interpolate(...)` rollup shape: each
+    user's hourly mean spend becomes a DENSE series from their first
+    to last active hour, with missing hours linearly interpolated
+    between the neighboring present buckets (integer-floor'd, so both
+    engines agree bit-for-bit; all interpolation inputs are exact
+    integers and the one double expression IEEE-rounds identically).
+
+    Scale: the bucket agg is one shuffle to (user, hour); the grid is
+    a per-user sequence explode (span rows, no cross join with a
+    global calendar); prev/next carries are per-user ordered window
+    scans — Spark executes all four `last/first ignorenulls` frames in
+    a single Window node over one sort, partition-parallel across
+    users. No driver collect, no global sort; skew bounds at the most
+    active user's span (720 rows/month)."""
+    from pyspark.sql import Window
+
+    hub = load_hub_flat(spark, sf_dir)
+    b = (
+        hub.select(
+            F.col("user_id_str").alias("user_id"),
+            F.expr("enq_us div 3600000000").alias("hour_bucket"),
+            "value_cents",
+        )
+        .groupBy("user_id", "hour_bucket")
+        .agg(F.expr("sum(value_cents) div count(*)").cast("long").alias("v"))
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("hour_bucket").alias("mn"), F.max("hour_bucket").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hour_bucket"),
+        )
+    )
+    j = grid.join(b, ["user_id", "hour_bucket"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_if_present = F.when(F.col("v").isNotNull(), F.col("hour_bucket"))
+    filled = j.select(
+        "user_id",
+        "hour_bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(h_if_present, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(h_if_present, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = F.floor(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("hour_bucket") - F.col("ph"))
+        / (F.col("nh") - F.col("ph"))
+    ).cast("long")
+    return filled.select(
+        "user_id",
+        "hour_bucket",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp).cast("long").alias("value_e2"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("interpolated"),
+    )
