@@ -52,7 +52,8 @@ OUTPUT_BOUND = {
     "corpus_pack_documents", "corpus_pii_scan", "corpus_repetition_stats",
     "corpus_source_quality", "corpus_quantize_embeddings",
     "text_winnow_fingerprints", "dedup_components", "dedup_incremental_ingest",
-    "hub_salted_user_counts", "hub_retention_cohorts",
+    "hub_salted_user_counts", "hub_retention_cohorts", "dedup_keep_best",
+    "corpus_perplexity_buckets", "ts_gapfill_interpolate",
 }
 
 

@@ -4307,6 +4307,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAST(enq_us // 3600000000 AS BIGINT) AS hour_bucket,
     value_cents
   FROM hub
+  WHERE CAST(user_id_str AS BIGINT) % 10 = 7
 ), b AS (
   SELECT user_id, hour_bucket,
     CAST(SUM(value_cents) // COUNT(*) AS BIGINT) AS v
@@ -4358,12 +4359,17 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans — Spark executes all four `last/first ignorenulls` frames in
     a single Window node over one sort, partition-parallel across
     users. No driver collect, no global sort; skew bounds at the most
-    active user's span (720 rows/month)."""
+    active user's span (720 rows/month). The catalog entry restricts
+    to the deterministic user_id%10=7 cohort purely to keep the dense
+    output driver-collectable at every sf (the dense grid is ~7x the
+    event count; a real deployment writes it to storage instead) —
+    the filter rides the scan, not the operator."""
     from pyspark.sql import Window
 
     hub = load_hub_flat(spark, sf_dir)
     b = (
-        hub.select(
+        hub.where(F.col("user_id_str").cast("bigint") % 10 == 7)
+        .select(
             F.col("user_id_str").alias("user_id"),
             F.expr("enq_us div 3600000000").alias("hour_bucket"),
             "value_cents",
