@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -69,7 +70,11 @@ def main() -> None:
         host_load_1m = -1.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # "sf10", "sf0.1", and suffixed replica dirs like "sf10_a" all
+    # stamp their numeric scale; anything unparseable stamps -1 (the
+    # bench_ratio --factor override path) instead of crashing
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else -1.0
 
     from pyspark.sql import SparkSession
 
