@@ -451,6 +451,67 @@ WHERE r.sel_rank <= q.n_s"""
 
 
 # ---------------------------------------------------------------------
+# source novelty: per-source marginal vocabulary contribution
+# ---------------------------------------------------------------------
+
+
+def source_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source vocabulary footprint and NOVELTY: how many distinct
+    tokens each source is the first to introduce (first occurrence =
+    the token's minimum ``doc_id`` across the whole corpus — a stable
+    total order, so ownership is deterministic). The marginal-novelty
+    view is the curation question "which sources still add new
+    language?" that per-source quality scores can't answer — a source
+    can be high-quality yet contribute nothing the corpus doesn't
+    already have.
+
+    Scale: one explode of per-document DISTINCT tokens (dedup happens
+    map-side inside ``array_distinct``, so the shuffle carries one row
+    per (doc, type), not per occurrence), then two postings-shaped
+    shuffles — ``min_by`` over the token key for ownership and a
+    (source, token) distinct count for footprint — each with partial
+    aggregation. Output is |sources| rows; no driver collect."""
+    tok_docs = df.select(
+        F.col("source"),
+        F.col("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+    )
+    intro = (
+        tok_docs.groupBy("token")
+        .agg(F.min_by("source", "doc_id").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first_tokens"))
+    )
+    vocab = tok_docs.groupBy("source").agg(
+        F.count_distinct("token").cast("long").alias("n_vocab")
+    )
+    return vocab.join(intro, "source", "left").select(
+        "source",
+        "n_vocab",
+        F.coalesce("n_first_tokens", F.lit(0)).cast("long").alias("n_first_tokens"),
+    )
+
+
+def oracle_source_novelty() -> str:
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    return f"""WITH tok AS (
+  SELECT source, doc_id, unnest(list_distinct({toks})) AS token
+  FROM documents
+), first AS (
+  SELECT token, arg_min(source, doc_id) AS source FROM tok GROUP BY token
+), intro AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_first_tokens
+  FROM first GROUP BY 1
+), vocab AS (
+  SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_vocab
+  FROM tok GROUP BY 1
+)
+SELECT v.source, v.n_vocab,
+  CAST(COALESCE(i.n_first_tokens, 0) AS BIGINT) AS n_first_tokens
+FROM vocab v LEFT JOIN intro i ON v.source = i.source"""
+
+
+# ---------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al. 2023,
 # "Data Selection for Language Models via Importance Resampling")
 # ---------------------------------------------------------------------

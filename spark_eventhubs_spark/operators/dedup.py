@@ -587,6 +587,59 @@ WHERE FLOOR(10000.0 * len(list_intersect(sa.hs, sb.hs))
       / len(list_distinct(list_concat(sa.hs, sb.hs)))) >= {threshold_bp}"""
 
 
+def jaccard_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_bp: int = 1000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Threshold-sensitivity curve for near-dup pruning: LSH candidate
+    pairs bucketed by exact shingle-Jaccard (bucket floor in basis
+    points) with per-bucket pair counts and similarity extents. This
+    is the knob-tuning view a curation run needs BEFORE committing to
+    a dedup threshold — how many pairs each 0.1-wide similarity slice
+    holds, i.e. how much corpus a cut at 0.7 vs 0.8 actually removes.
+
+    The curve is over the LSH candidate set (pairs sharing at least
+    one band), so low buckets are a sample floor, not a census — by
+    design: the exhaustive low-similarity census is the all-pairs scan
+    this module exists to avoid, and the decision-relevant region
+    (near the intended threshold) is where band collision probability
+    is high. Scale: identical cost to :func:`near_dup_pairs` at
+    threshold 0 (shares its memoized candidate/verify stages) plus a
+    |buckets|-row aggregation."""
+    pairs = near_dup_pairs(
+        df, text_col, 0, num_hashes, band_size, shingle_k
+    )
+    bucket = F.expr(f"jaccard_bp div {bucket_bp}")
+    return (
+        pairs.groupBy((bucket * bucket_bp).cast("long").alias("bucket_lo_bp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("jaccard_bp").alias("min_bp"),
+            F.max("jaccard_bp").alias("max_bp"),
+        )
+    )
+
+
+def oracle_jaccard_threshold_curve(
+    bucket_bp: int = 1000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> str:
+    inner = oracle_near_dup_pairs(0, num_hashes, band_size, shingle_k)
+    return f"""SELECT
+  CAST((jaccard_bp // {bucket_bp}) * {bucket_bp} AS BIGINT) AS bucket_lo_bp,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  MIN(jaccard_bp) AS min_bp,
+  MAX(jaccard_bp) AS max_bp
+FROM ({inner}) pairs
+GROUP BY 1"""
+
+
 # ---- SimHash ----
 
 def simhash(

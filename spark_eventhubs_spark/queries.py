@@ -4432,3 +4432,149 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp).cast("long").alias("value_e2"),
         F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("interpolated"),
     )
+
+
+@register("corpus_source_novelty", C.oracle_source_novelty())
+def corpus_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source marginal vocabulary contribution
+    (operators/corpus.py:source_novelty): distinct-token footprint per
+    source plus the count of tokens each source INTRODUCES (first
+    occurrence by min doc_id — a deterministic global order). The
+    curation signal quality scores miss: a pristine source that adds
+    no new language is redundant against the mixture. Scale: map-side
+    per-doc token dedup, two postings-shaped shuffles with partial
+    aggregation, |sources|-row output."""
+    return C.source_novelty(_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_threshold_curve", D.oracle_jaccard_threshold_curve())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity (operators/dedup.py:
+    jaccard_threshold_curve): LSH candidate pairs bucketed by exact
+    shingle-Jaccard into 0.1-wide slices — pair counts + extents per
+    slice, the evidence for choosing the dedup cut instead of
+    inheriting 0.8 from a paper. Shares the memoized candidate/verify
+    stages with dedup_ngram_jaccard; adds a |buckets|-row agg."""
+    return D.jaccard_threshold_curve(_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "hub_pit_scd2_join",
+    oracle_hub_cte()
+    + """
+, dim0 AS (
+  SELECT user_id_str, event_type, enq_us, sequenceNumber
+  FROM hub WHERE event_type <> 'purchase'
+), ordered AS (
+  SELECT user_id_str, event_type, enq_us,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+         OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg,
+    ROW_NUMBER() OVER w AS rn
+  FROM dim0
+  WINDOW w AS (PARTITION BY user_id_str ORDER BY enq_us, sequenceNumber)
+), starts AS (
+  SELECT user_id_str, event_type AS state, enq_us AS valid_from_us, rn
+  FROM ordered WHERE chg = 1
+), dim AS (
+  SELECT user_id_str, state, valid_from_us,
+    LEAD(valid_from_us) OVER (PARTITION BY user_id_str ORDER BY rn)
+      AS valid_to_us
+  FROM starts
+), fact AS (
+  SELECT user_id_str, enq_us, value_cents
+  FROM hub WHERE event_type = 'purchase'
+)
+SELECT d.state,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(f.value_cents) AS BIGINT) AS sum_value_cents
+FROM fact f JOIN dim d ON f.user_id_str = d.user_id_str
+  AND d.valid_from_us <= f.enq_us
+  AND (d.valid_to_us IS NULL OR f.enq_us < d.valid_to_us)
+GROUP BY 1""",
+)
+def hub_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store op that prevents
+    label leakage: each purchase fact joins the SCD2 dimension version
+    VALID AT ITS EVENT TIME, never a later one. The dimension is the
+    scd2_compact history of the user's non-purchase activity (state =
+    last engagement event type), so the result attributes revenue to
+    the engagement state the user was in when they bought. Version
+    membership is [valid_from, valid_to) at microsecond granularity in
+    both engines. Scale: the dim side leaves scd2_compact already
+    hash-partitioned on user_id_str (the window's exchange is reused
+    by the sort-merge join — no second dim shuffle); the fact side
+    shuffles once; per-user version counts bound the join fan-out, so
+    no range-join explosion. Reference parity: this is the batch
+    analogue of enriching hub events against a slowly-changing
+    reference table keyed by the event's enqueue time
+    (M/eventhubs/EventHubsConf.scala positions semantics)."""
+    hub = load_hub_flat(spark, sf_dir)
+    dim = scd2_compact(
+        hub.where(F.col("event_type") != "purchase")
+    ).select(
+        F.col("user_id_str").alias("d_user"),
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    fact = hub.where(F.col("event_type") == "purchase").select(
+        "user_id_str", "enq_us", "value_cents"
+    )
+    joined = fact.join(
+        dim,
+        (F.col("user_id_str") == F.col("d_user"))
+        & (F.col("valid_from_us") <= F.col("enq_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("enq_us") < F.col("valid_to_us"))),
+    )
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+    )
+
+
+@register(
+    "hub_partition_drift",
+    oracle_hub_cte()
+    + """
+, p AS (
+  SELECT partition,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MIN(enq_us) AS first_us,
+    MAX(enq_us) AS last_us
+  FROM hub GROUP BY 1
+), g AS (SELECT MAX(last_us) AS global_last_us FROM p)
+SELECT p.partition, p.n_events, p.first_us, p.last_us,
+  CAST(g.global_last_us - p.last_us AS BIGINT) AS drift_us,
+  CAST(p.n_events * 3600000000 // (p.last_us - p.first_us + 1) AS BIGINT)
+    AS events_per_hour
+FROM p, g""",
+)
+def hub_partition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition drift audit — the batch measurement behind the
+    reference's slow-partition adjustment (S22,
+    M/streaming/eventhubs/PartitionsStatusTracker — partitions whose
+    enqueue frontier lags the hub's maximum are the ones the
+    proportional rate limiter must not starve): per partition the
+    event count, enqueue-time extent, lag of its frontier behind the
+    global maximum (drift_us — the watermark-delay driver), and its
+    integer events/hour rate. Scale: one map-side-combined groupBy to
+    |partitions| rows; the global frontier is a 1-row broadcast
+    cross join (the documented scalar-broadcast pattern), never a
+    global window."""
+    hub = load_hub_flat(spark, sf_dir)
+    p = hub.groupBy("partition").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("enq_us").alias("first_us"),
+        F.max("enq_us").alias("last_us"),
+    )
+    g = p.agg(F.max("last_us").alias("global_last_us"))
+    return p.crossJoin(F.broadcast(g)).select(
+        "partition",
+        "n_events",
+        "first_us",
+        "last_us",
+        (F.col("global_last_us") - F.col("last_us")).cast("long").alias("drift_us"),
+        F.expr("n_events * 3600000000 div (last_us - first_us + 1)")
+        .cast("long")
+        .alias("events_per_hour"),
+    )
