@@ -465,25 +465,36 @@ def source_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
     can be high-quality yet contribute nothing the corpus doesn't
     already have.
 
-    Scale: one explode of per-document DISTINCT tokens (dedup happens
-    map-side inside ``array_distinct``, so the shuffle carries one row
-    per (doc, type), not per occurrence), then two postings-shaped
-    shuffles — ``min_by`` over the token key for ownership and a
-    (source, token) distinct count for footprint — each with partial
-    aggregation. Output is |sources| rows; no driver collect."""
-    tok_docs = df.select(
-        F.col("source"),
-        F.col("doc_id"),
-        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+    Scale: the raw postings (one row per (doc, type) — per-doc dedup
+    happens map-side inside ``array_distinct``) are shuffled exactly
+    ONCE, into a partial-combined rollup ``(token, source) ->
+    min(doc_id)`` whose cardinality is bounded by |sources| x |vocab|,
+    not by the corpus. Both outputs derive from that rollup: the
+    footprint is a per-source count of its rows, and ownership is a
+    second (vocabulary-sized, not corpus-sized) shuffle taking
+    ``min_by`` over the token key. A naive formulation shuffles the
+    corpus-sized postings twice (once per output) — at 100 TB that is
+    the difference between one pass and two over tens of TB of
+    shuffle. Output is |sources| rows; no driver collect."""
+    rollup = (
+        df.select(
+            F.col("source"),
+            F.col("doc_id"),
+            F.explode(
+                F.array_distinct(tokens_col(F.col(text_col)))
+            ).alias("token"),
+        )
+        .groupBy("token", "source")
+        .agg(F.min("doc_id").alias("min_doc"))
     )
     intro = (
-        tok_docs.groupBy("token")
-        .agg(F.min_by("source", "doc_id").alias("source"))
+        rollup.groupBy("token")
+        .agg(F.min_by("source", "min_doc").alias("source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_first_tokens"))
     )
-    vocab = tok_docs.groupBy("source").agg(
-        F.count_distinct("token").cast("long").alias("n_vocab")
+    vocab = rollup.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab")
     )
     return vocab.join(intro, "source", "left").select(
         "source",
