@@ -2649,6 +2649,63 @@ def _hub_has_side_ties(spark: SparkSession, sf_dir: str) -> bool:
     return cache_dataframe(spark, ("hub_side_ties", sf_dir), _scan)
 
 
+def _threaded_drain(target, budget_s: float, name: str) -> None:
+    """Run ``target`` (a drain callable) in a daemon thread and fail
+    LOUDLY. Any exception the drain raises is captured in a holder and
+    re-raised here — a daemon thread's exception otherwise dies with
+    the thread: the r11 ``stream_sessionize`` driver red was exactly
+    that (the flush-deadline RuntimeError vanished, ``join()``
+    returned normally, ``q.stop()`` ran, and the entry returned an
+    empty memory table with ``err=null``). A drain still running
+    after ``budget_s`` raises a timeout. The caller owns ``q.stop()``
+    via try/finally, so the query is stopped on every exit path."""
+    import threading as _th
+
+    holder: list[BaseException] = []
+
+    def _wrap():
+        try:
+            target()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            holder.append(e)
+
+    t = _th.Thread(target=_wrap, daemon=True)
+    t.start()
+    t.join(budget_s)
+    if t.is_alive():
+        raise RuntimeError(
+            f"streaming drain into {name} timed out after {budget_s:.0f}s"
+        )
+    if holder:
+        raise RuntimeError(
+            f"streaming drain into {name} failed: {holder[0]!r}"
+        ) from holder[0]
+
+
+def _await_state_flush(q, deadline_s: float, name: str,
+                       poll_s: float = 0.05) -> None:
+    """Poll ``q.lastProgress`` until the (single) state operator holds
+    at most one row — the sentinel's own still-open session, i.e.
+    every real session has been closed and emitted — or raise once
+    wall-clock passes ``deadline_s`` (an ABSOLUTE time, so callers
+    fold this wait into one outer drain budget instead of stacking a
+    second deadline on top of it). ``processAllAvailable`` only
+    guarantees DATA was processed; the watermark-driven append-mode
+    emission happens in a no-data batch afterwards, and ``stop()``
+    can kill that batch mid-flight."""
+    import time as _time
+
+    while _time.time() < deadline_s:
+        lp = q.lastProgress
+        ops = (lp or {}).get("stateOperators") or []
+        if ops and ops[0].get("numRowsTotal", 2**63) <= 1:
+            return
+        _time.sleep(poll_s)
+    raise RuntimeError(
+        f"{name}: watermark flush did not complete before its deadline"
+    )
+
+
 def _run_stream_to_memory(df, name: str, available_now: bool = True,
                           mode: str | None = None):
     """Drain a stream into a memory table. availableNow drains in one
@@ -2712,16 +2769,11 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
             try:
                 # processAllAvailable has no timeout parameter: run it
                 # in a watchdog thread so a stalled source fails loudly
-                # after 300s instead of hanging the catalog gate/bench
-                import threading as _th
-
-                t = _th.Thread(target=q.processAllAvailable, daemon=True)
-                t.start()
-                t.join(300)
-                if t.is_alive():
-                    raise RuntimeError(
-                        f"streaming drain into {name} timed out after 300s"
-                    )
+                # after 300s instead of hanging the catalog gate/bench.
+                # _threaded_drain also re-raises any exception the
+                # drain itself hits (a failed query must surface as an
+                # error, never as a partial sink aggregated silently).
+                _threaded_drain(q.processAllAvailable, 300, name)
                 if os.environ.get("SEH_STREAM_DEBUG"):
                     # drain forensics (bench-context variance hunts):
                     # one line per micro-batch with the engine's own
@@ -3338,7 +3390,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="5 milliseconds")
             .start()
         )
-        import threading as _th
+        import time as _time
+
+        # ONE outer drain budget; the watermark-flush wait consumes
+        # whatever of it remains (the r11 code stacked a separate
+        # 120 s flush deadline whose RuntimeError died silently in
+        # the daemon thread — the round-11 driver red)
+        _budget_s = 300.0
+        _t0 = _time.time()
 
         def _drain():
             q.processAllAvailable()  # real backlog, fully ordered
@@ -3352,35 +3411,15 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             sent.write.format("eventhubs").mode("append").option("path", path).save()
             q.processAllAvailable()  # sentinel ingested
-            # processAllAvailable only guarantees DATA is processed;
-            # the watermark-driven append-mode emission happens in a
-            # no-data batch AFTER the batch that read the sentinel, and
-            # stop() can kill that batch mid-flight (latent race,
-            # surfaced by the 5 ms trigger cadence in round 11). Flush
-            # is complete exactly when every real session has been
-            # closed and evicted — i.e. the state operator holds only
-            # the sentinel's own still-open session. Poll for that.
-            import time as _time
+            # flush is complete exactly when every real session has
+            # been closed and evicted — i.e. the state operator holds
+            # only the sentinel's own still-open session
+            _await_state_flush(q, _t0 + _budget_s, name)
 
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                lp = q.lastProgress
-                ops = (lp or {}).get("stateOperators") or []
-                if ops and ops[0].get("numRowsTotal", 2**63) <= 1:
-                    break
-                _time.sleep(0.05)
-            else:
-                raise RuntimeError(
-                    f"{name}: watermark flush did not complete within 120s"
-                )
-
-        t = _th.Thread(target=_drain, daemon=True)
-        t.start()
-        t.join(300)
-        if t.is_alive():
+        try:
+            _threaded_drain(_drain, _budget_s, name)
+        finally:
             q.stop()
-            raise RuntimeError(f"streaming drain into {name} timed out after 300s")
-        q.stop()
     finally:
         spark_sess.conf.set("spark.sql.shuffle.partitions", prev)
         _wd.release(ck)
