@@ -31,6 +31,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,6 +39,17 @@ WINDOW = 50
 GENERATED = os.path.join(
     REPO, "spark_eventhubs_spark", "_driver_green.py"
 )
+QUERIES_REL = "spark_eventhubs_spark/queries.py"
+GOLDEN_REL = "docs/PLAN_FINGERPRINTS.json"
+# Sidecar version for the golden's NORMALIZATION format. Historical
+# goldens written under a different normalization (e.g. the r10
+# hashpartitioning canonicalization + scan-line expansion) differ
+# textually for EVERY entry without any plan change — comparing
+# across formats would force-pend the whole catalog. Bump this file
+# whenever plan_fingerprints.py's normalization changes; the
+# cross-round golden compare only runs when both sides carry the
+# same version.
+GOLDEN_FMT_REL = "docs/PLAN_FINGERPRINTS_FORMAT"
 
 
 def ledger_rounds(repo: str = REPO) -> list[int]:
@@ -75,17 +87,149 @@ def ledger_last_green(
     return last
 
 
-def rank_stalest(registered: list[str], last: dict[str, int]) -> list[str]:
-    """All registered entries, stalest first; ties keep catalog order."""
+def rank_stalest(
+    registered: list[str],
+    last: dict[str, int],
+    changed: frozenset[str] | set[str] = frozenset(),
+) -> list[str]:
+    """All registered entries, stalest first; ties keep catalog order.
+
+    Code-change-aware (round-11 verdict item 3): an entry whose
+    implementation changed since its last green driver check ranks
+    rank -2, AHEAD even of never-checked entries (-1) — a rewrite
+    riding an old green is strictly more dangerous than a new entry,
+    which the driver naturally sees pending anyway (this round's
+    ``hub_approx_users``: rewritten in ``be10b3f`` on a stale r10
+    green, outside the r11 window)."""
     idx = {name: i for i, name in enumerate(registered)}
-    return sorted(registered, key=lambda n: (last.get(n, -1), idx[n]))
+    return sorted(
+        registered,
+        key=lambda n: (-2 if n in changed else last.get(n, -1), idx[n]),
+    )
 
 
 def compute_sets(
-    registered: list[str], last: dict[str, int], window: int = WINDOW
+    registered: list[str],
+    last: dict[str, int],
+    window: int = WINDOW,
+    changed: frozenset[str] | set[str] = frozenset(),
 ) -> tuple[list[str], list[str]]:
-    ranked = rank_stalest(registered, last)
+    ranked = rank_stalest(registered, last, changed)
     return ranked[:window], ranked[window:]
+
+
+def _git_show(repo: str, commit: str, rel: str) -> str | None:
+    try:
+        return subprocess.check_output(
+            ["git", "-C", repo, "show", f"{commit}:{rel}"],
+            stderr=subprocess.DEVNULL,
+        ).decode()
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def _round_commit(repo: str, rnd: int) -> str | None:
+    """The commit that ADDED CORRECTNESS_r<rnd>.json — the repo state
+    the driver's round-<rnd> check certified (code committed later was
+    never covered by that green)."""
+    try:
+        out = subprocess.check_output(
+            ["git", "-C", repo, "log", "--diff-filter=A", "--format=%H",
+             "--", f"CORRECTNESS_r{rnd:02d}.json"],
+            stderr=subprocess.DEVNULL,
+        ).split()
+    except (subprocess.CalledProcessError, OSError):
+        return None
+    return out[-1].decode() if out else None
+
+
+def entry_source_block(text: str, fname: str) -> str | None:
+    """Extract the top-level ``def fname(...)`` block via the AST
+    (``lineno``..``end_lineno``), so neighboring module-level
+    constants and col-0 lines inside triple-quoted oracle strings
+    can never bleed into the block (a textual scan false-pended
+    ``dedup_components`` when an adjacent constant moved).
+    Deliberately excludes the @register decorator — oracle drift is
+    separately caught by the driver's own hash compare."""
+    import ast
+
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return None
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == fname:
+            lines = text.split("\n")
+            return "\n".join(lines[node.lineno - 1:node.end_lineno]).rstrip()
+    return None
+
+
+def changed_since_green(
+    repo: str, registered: list[str], last: dict[str, int],
+    fn_names: dict[str, str],
+) -> list[str]:
+    """Entries whose entry-function source OR golden plan fingerprint
+    differs between the working tree and the commit that recorded
+    their last green round. ``fn_names`` maps entry name -> the
+    underlying function's __name__ (they usually match, but the
+    registration name is the contract, not the symbol).
+
+    Limitation (documented, accepted): a helper-module rewrite that
+    changes neither the entry body nor the committed plan fingerprint
+    is invisible here — the two signals cover entry-body rewrites
+    (``hub_approx_users``) and any helper change that moves the plan
+    (the golden is regenerated whenever plans move, pinned by
+    tests/test_plan_fingerprints.py)."""
+    cur_src = open(os.path.join(repo, QUERIES_REL)).read()
+    try:
+        cur_golden = json.load(open(os.path.join(repo, GOLDEN_REL)))
+    except (OSError, ValueError):
+        cur_golden = {}
+    try:
+        cur_fmt = open(os.path.join(repo, GOLDEN_FMT_REL)).read().strip()
+    except OSError:
+        cur_fmt = None
+    commits: dict[int, str | None] = {}
+    old_src: dict[str, str | None] = {}
+    old_golden: dict[str, dict | None] = {}
+    old_fmt: dict[str, str | None] = {}
+    changed = []
+    for name in registered:
+        rnd = last.get(name, -1)
+        if rnd < 0:
+            continue  # never green: already ranked first by -1
+        if rnd not in commits:
+            commits[rnd] = _round_commit(repo, rnd)
+        c = commits[rnd]
+        if c is None:
+            continue  # no git history (fresh clone): can't judge
+        if c not in old_src:
+            old_src[c] = _git_show(repo, c, QUERIES_REL)
+            g = _git_show(repo, c, GOLDEN_REL)
+            try:
+                old_golden[c] = json.loads(g) if g else {}
+            except ValueError:
+                old_golden[c] = {}
+            f = _git_show(repo, c, GOLDEN_FMT_REL)
+            old_fmt[c] = f.strip() if f else None
+        if old_src[c] is None:
+            continue
+        fname = fn_names.get(name, name)
+        then_fn = entry_source_block(old_src[c], fname)
+        now_fn = entry_source_block(cur_src, fname)
+        if then_fn != now_fn:
+            changed.append(name)
+            continue
+        # golden compare only within one normalization format — a
+        # format bump rewrites every fingerprint without a plan change
+        if (
+            cur_fmt is not None
+            and old_fmt[c] == cur_fmt
+            and old_golden[c].get(name) != cur_golden.get(name)
+            and (name in old_golden[c] or name in cur_golden)
+        ):
+            changed.append(name)
+    return changed
 
 
 def render(
@@ -93,12 +237,15 @@ def render(
     pending: list[str],
     last: dict[str, int],
     rounds: list[int] | None = None,
+    changed: list[str] | None = None,
 ) -> str:
+    changed = changed or []
     by_round: dict[int, int] = {}
     for n in pending:
-        by_round[last.get(n, -1)] = by_round.get(last.get(n, -1), 0) + 1
+        r = -2 if n in changed else last.get(n, -1)
+        by_round[r] = by_round.get(r, 0) + 1
     tally = ", ".join(
-        f"{'never-checked' if r < 0 else f'r{r:02d}'}: {c}"
+        f"{'code-changed' if r == -2 else 'never-checked' if r < 0 else f'r{r:02d}'}: {c}"
         for r, c in sorted(by_round.items())
     )
     # frozenset() literal, valid for the empty case too (a catalog no
@@ -117,12 +264,21 @@ def render(
     if rounds is not None:
         rr = ", ".join(f'"r{r:02d}"' for r in rounds)
         trail = "," if len(rounds) == 1 else ""
+        cc = ", ".join(f'"{n}"' for n in changed)
+        cctrail = "," if len(changed) == 1 else ""
         stamp = (
             "\n# Ledger rounds consumed by this generation — the rotation\n"
             "# tests re-derive from exactly these files, so a newer\n"
             "# CORRECTNESS file landing later does NOT redden the suite\n"
             "# (`rotate_window.py --check` reports that drift instead).\n"
             f"GENERATED_FROM = ({rr}{trail})\n"
+            "# Entries whose implementation (entry-function source or\n"
+            "# golden plan fingerprint) changed since their last green\n"
+            "# round's commit at generation time: force-pended ahead of\n"
+            "# everything (a rewrite must never ride a stale green —\n"
+            "# round-11 verdict item 3). Stamped so the rotation tests\n"
+            "# re-derive without re-running the git archaeology.\n"
+            f"CODE_CHANGED = ({cc}{cctrail})\n"
         )
     return f'''"""GENERATED by scripts/rotate_window.py — do not hand-edit.
 
@@ -144,8 +300,14 @@ def main() -> int:
     registered = list(Q._QUERIES)
     rounds = ledger_rounds()
     last = ledger_last_green(rounds=rounds)
-    pending, green = compute_sets(registered, last)
-    text = render(sorted(green), pending, last, rounds)
+    import inspect
+
+    fn_names = {
+        n: inspect.unwrap(f).__name__ for n, f in Q._QUERIES.items()
+    }
+    changed = changed_since_green(REPO, registered, last, fn_names)
+    pending, green = compute_sets(registered, last, changed=set(changed))
+    text = render(sorted(green), pending, last, rounds, changed)
     check = "--check" in sys.argv
     current = (
         open(GENERATED).read() if os.path.exists(GENERATED) else None
@@ -163,8 +325,12 @@ def main() -> int:
         f"{len(pending)} pending (window {WINDOW})"
     )
     for n in pending:
-        r = last.get(n, -1)
-        print(f"  pending {'new' if r < 0 else f'r{r:02d}'}  {n}")
+        tag = (
+            "changed" if n in changed
+            else "new" if last.get(n, -1) < 0
+            else f"r{last.get(n):02d}"
+        )
+        print(f"  pending {tag:7s}  {n}")
     return 0
 
 

@@ -2764,8 +2764,10 @@ def _run_stream_to_memory(df, name: str, available_now: bool = True,
             # 5 ms cadence: batch sizing comes from maxEventsPerTrigger,
             # not the interval — a shorter tick only removes inter-batch
             # idle (profiled round 11: ~1.3 s of pure cadence slack per
-            # sessionize drain at 50 ms; same 4-batch carry-over shape)
-            q = writer.trigger(processingTime="5 milliseconds").start()
+            # sessionize drain at 50 ms; same 4-batch carry-over shape).
+            # SEH_STREAM_TICK_MS overrides for cadence A/B profiling.
+            _tick = int(os.environ.get("SEH_STREAM_TICK_MS", "5"))
+            q = writer.trigger(processingTime=f"{_tick} milliseconds").start()
             try:
                 # processAllAvailable has no timeout parameter: run it
                 # in a watchdog thread so a stalled source fails loudly
@@ -3387,7 +3389,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ck)
-            .trigger(processingTime="5 milliseconds")
+            .trigger(processingTime=(
+                f'{int(os.environ.get("SEH_STREAM_TICK_MS", "5"))} milliseconds'
+            ))
             .start()
         )
         import time as _time

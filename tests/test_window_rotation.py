@@ -46,14 +46,16 @@ def test_generated_file_matches_stamped_ledger():
     from the ledger rounds stamped into its GENERATED_FROM header —
     byte-for-byte, independent of any ledger row that landed later."""
     rot = _rotate_mod()
+    from spark_eventhubs_spark import _driver_green as G
     from spark_eventhubs_spark import queries as Q
 
     rounds = _stamped_rounds()
     registered = list(Q._QUERIES)
     last = rot.ledger_last_green(rounds=rounds)
-    pending, green = rot.compute_sets(registered, last)
+    changed = list(G.CODE_CHANGED)
+    pending, green = rot.compute_sets(registered, last, changed=set(changed))
     assert Q._DRIVER_GREEN == frozenset(green)
-    assert rot.render(sorted(green), pending, last, rounds) == open(
+    assert rot.render(sorted(green), pending, last, rounds, changed) == open(
         rot.GENERATED
     ).read()
 
@@ -75,17 +77,23 @@ def test_stamped_rounds_exist_and_are_contiguous_prefix():
 
 def test_pending_is_the_stalest_slice():
     """No deferred entry is staler than any pending entry, judged by
-    the stamped ledger rounds."""
+    the stamped ledger rounds — with code-changed entries ranked -2
+    (they must never be deferred at all)."""
     rot = _rotate_mod()
+    from spark_eventhubs_spark import _driver_green as G
     from spark_eventhubs_spark import queries as Q
 
     last = rot.ledger_last_green(rounds=_stamped_rounds())
+    changed = set(G.CODE_CHANGED)
+
+    def rank(n):
+        return -2 if n in changed else last.get(n, -1)
+
     pending = [n for n in Q._QUERIES if n not in Q._DRIVER_GREEN]
-    newest_pending = max(last.get(n, -1) for n in pending)
-    oldest_deferred = min(
-        last.get(n, -1) for n in Q._DRIVER_GREEN
+    assert not changed & set(Q._DRIVER_GREEN)
+    assert min(rank(n) for n in Q._DRIVER_GREEN) >= max(
+        rank(n) for n in pending
     )
-    assert oldest_deferred >= newest_pending
 
 
 def test_newer_ledger_row_flips_check_but_not_suite(tmp_path):
@@ -118,6 +126,63 @@ def test_newer_ledger_row_flips_check_but_not_suite(tmp_path):
     # the live-ledger text differs -> --check would report STALE ...
     assert new_text != open(rot.GENERATED).read()
     # ... while the stamped derivation (the pytest contract) is intact:
+    from spark_eventhubs_spark import _driver_green as G
+
     stamped = rot.ledger_last_green(rounds=_stamped_rounds())
-    p2, g2 = rot.compute_sets(list(Q._QUERIES), stamped)
+    p2, g2 = rot.compute_sets(
+        list(Q._QUERIES), stamped, changed=set(G.CODE_CHANGED)
+    )
     assert frozenset(g2) == Q._DRIVER_GREEN
+
+
+def test_code_changed_entries_rank_ahead_of_everything():
+    """The round-11 item-3 rule, pinned on synthetic data: an entry
+    rewritten since its last green ranks BEFORE stale and even
+    never-checked entries, and can never be deferred while unchanged
+    stale entries fill the window."""
+    rot = _rotate_mod()
+    registered = [f"e{i:02d}" for i in range(6)]
+    last = {"e00": 5, "e01": 1, "e02": 3, "e04": 2, "e05": 4}  # e03 new
+    pending, green = rot.compute_sets(
+        registered, last, window=3, changed={"e05"}
+    )
+    # e05 (freshest green but rewritten) first, then never-checked
+    # e03, then stalest green e01; e00/e02/e04 defer
+    assert pending == ["e05", "e03", "e01"]
+    assert green == ["e04", "e02", "e00"]
+
+
+def test_entry_source_block_is_ast_precise():
+    """Neighboring module constants and col-0 SQL inside strings must
+    not bleed into the extracted block (the dedup_components false
+    positive), and a body edit must change the block."""
+    rot = _rotate_mod()
+    text = (
+        '@register(\n    "x",\n    """SELECT 1\nFROM t""",\n)\n'
+        "def x(spark, sf):\n    return 1\n\n\n"
+        '_CONST = """\nSELECT col0\n"""\n\n\n'
+        "def y(spark, sf):\n    return 2\n"
+    )
+    block = rot.entry_source_block(text, "x")
+    assert block == "def x(spark, sf):\n    return 1"
+    assert rot.entry_source_block(text, "y") == "def y(spark, sf):\n    return 2"
+    assert rot.entry_source_block(text, "z") is None
+    edited = text.replace("return 1", "return 99")
+    assert rot.entry_source_block(edited, "x") != block
+    # a move of the neighboring constant must NOT change x's block
+    moved = text.replace('_CONST = """\nSELECT col0\n"""\n\n\n', "")
+    assert rot.entry_source_block(moved, "x") == block
+
+
+def test_changed_since_green_flags_the_r12_rewrites():
+    """Integration against the real git history: the entries this
+    round's generation stamped as CODE_CHANGED must include the
+    hub_approx_users rewrite (landed AFTER its r10 green — the
+    blind spot that motivated the rule)."""
+    from spark_eventhubs_spark import _driver_green as G
+
+    assert "hub_approx_users" in G.CODE_CHANGED
+    # and every stamped entry is pending, never deferred
+    from spark_eventhubs_spark import queries as Q
+
+    assert not set(G.CODE_CHANGED) & Q._DRIVER_GREEN
