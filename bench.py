@@ -76,6 +76,30 @@ def main() -> None:
     m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else -1.0
 
+    # Pre-touch the data dir through the page cache BEFORE any timed
+    # cell (round-11 verdict item 6): a freshly built replica reads
+    # cold at ~40 MB/s, inflating the first timed cells up to 9.6x
+    # over their isolated medians (NOTES_r11: q10 41.8 s vs 4.3 s).
+    # Reading every parquet byte once is untimed, stamped real time —
+    # after it, segment-0 cells measure the plan, not the disk.
+    t_touch = time.time()
+    touch_bytes = 0
+    buf = bytearray(1 << 22)
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if not (f.endswith(".parquet") or f.startswith("part-")):
+                continue
+            try:
+                with open(os.path.join(root, f), "rb", buffering=0) as fh:
+                    while True:
+                        n = fh.readinto(buf)
+                        if not n:
+                            break
+                        touch_bytes += n
+            except OSError:
+                pass
+    pretouch_s = round(time.time() - t_touch, 3)
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
@@ -362,6 +386,10 @@ def main() -> None:
         # multi-second sync or GB-scale dirty set explains a depressed
         # scan figure without re-litigating the code.
         "sync_wait_s": sync_wait_s,
+        # untimed page-cache pre-read of the whole data dir (r11 item
+        # 6): cells never include first-touch cold-disk reads
+        "pretouch_bytes": touch_bytes,
+        "pretouch_s": pretouch_s,
         "host_load_1m_pre": host_load_1m,
         "dirty_kb_pre_sync": dirty_kb,
         # context recycled every N entries so per-cell figures can't

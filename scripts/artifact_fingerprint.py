@@ -23,6 +23,9 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
 def main() -> int:
+    if len(sys.argv) != 2 or not os.path.isdir(sys.argv[1]):
+        print(__doc__)
+        return 2
     sf_dir = sys.argv[1]
     from spark_eventhubs_spark.bucketing import ensure_copurchase_edges
     from spark_eventhubs_spark.session import build_session

@@ -54,6 +54,10 @@ OUTPUT_BOUND = {
     "text_winnow_fingerprints", "dedup_components", "dedup_incremental_ingest",
     "hub_salted_user_counts", "hub_retention_cohorts", "dedup_keep_best",
     "corpus_perplexity_buckets", "ts_gapfill_interpolate",
+    # 3 rows per cohort document (1% doc_id cohort since r12): output
+    # is collect-bound, cohort-sized — and the >factor flag above
+    # still fires if the plan itself regresses past the data factor
+    "text_token_positions",
 }
 
 

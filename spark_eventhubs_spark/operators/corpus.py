@@ -469,13 +469,20 @@ def source_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
     happens map-side inside ``array_distinct``) are shuffled exactly
     ONCE, into a partial-combined rollup ``(token, source) ->
     min(doc_id)`` whose cardinality is bounded by |sources| x |vocab|,
-    not by the corpus. Both outputs derive from that rollup: the
-    footprint is a per-source count of its rows, and ownership is a
-    second (vocabulary-sized, not corpus-sized) shuffle taking
-    ``min_by`` over the token key. A naive formulation shuffles the
-    corpus-sized postings twice (once per output) — at 100 TB that is
-    the difference between one pass and two over tens of TB of
-    shuffle. Output is |sources| rows; no driver collect."""
+    not by the corpus. Both outputs then come from a single LINEAR
+    chain — rollup -> per-token entry list (vocabulary-sized shuffle,
+    list bounded by |sources|) -> explode with an in-array argmin
+    winner flag -> per-source count/sum (tiny) — with no plan branch
+    at all. The r11 version branched the rollup into two consumers and
+    trusted exchange reuse to dedupe the corpus shuffle; it does NOT
+    fire (ADVICE r11, verified on the executed AQE plan: two separate
+    ShuffleQueryStages over the same hashpartitioning(token, source)
+    exchange — higher-order-function lambdas in the tokenizer defeat
+    plan canonicalization), so the postings genuinely shuffled twice.
+    At 100 TB that is one pass over tens of TB of shuffle vs two.
+    Ties in the argmin cannot happen: a doc belongs to one source, so
+    a token's per-source min_doc values are distinct. Output is
+    |sources| rows; no driver collect."""
     rollup = (
         df.select(
             F.col("source"),
@@ -487,19 +494,23 @@ def source_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("token", "source")
         .agg(F.min("doc_id").alias("min_doc"))
     )
-    intro = (
-        rollup.groupBy("token")
-        .agg(F.min_by("source", "min_doc").alias("source"))
+    tok = rollup.groupBy("token").agg(
+        F.collect_list(F.struct("min_doc", "source")).alias("entries")
+    )
+    return (
+        tok.select(
+            F.array_min("entries").getField("source").alias("w"),
+            F.explode("entries").alias("e"),
+        )
+        .select(
+            F.col("e.source").alias("source"),
+            (F.col("e.source") == F.col("w")).cast("long").alias("is_first"),
+        )
         .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_first_tokens"))
-    )
-    vocab = rollup.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vocab")
-    )
-    return vocab.join(intro, "source", "left").select(
-        "source",
-        "n_vocab",
-        F.coalesce("n_first_tokens", F.lit(0)).cast("long").alias("n_first_tokens"),
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            F.sum("is_first").cast("long").alias("n_first_tokens"),
+        )
     )
 
 

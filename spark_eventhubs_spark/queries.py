@@ -604,6 +604,12 @@ def hub_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_hub_flat(spark, sf_dir)
         .select("event_type", "user_id_str")
+        # non-null guard (ADVICE r11): count(lit(1)) over the distinct
+        # frame would count a NULL user as one extra vs the old
+        # NULL-excluding countDistinct; user_id_str is a cast of a
+        # non-null user_id today, but a hub-view change must not be
+        # able to silently skew the 5% contract
+        .where(F.col("user_id_str").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(
@@ -1796,6 +1802,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents
+  WHERE doc_id % 100 = 7
 )
 SELECT tk.doc_id, CAST(u.i AS BIGINT) AS pos, tk.toks[u.i + 1] AS token
 FROM tk, LATERAL (SELECT unnest(range(least(3, len(tk.toks)))) AS i) u""",
@@ -1803,14 +1810,27 @@ FROM tk, LATERAL (SELECT unnest(range(least(3, len(tk.toks)))) AS i) u""",
 def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL + ordinality shape: each document's first three tokens
     with their zero-based positions (posexplode — the positional
-    flatten every sequence-labeling export needs). Scale: a narrow
-    generate bounded by slice(3) BEFORE exploding, so at most three
-    rows per document are ever produced."""
+    flatten every sequence-labeling export needs), over the doc_id%100
+    cohort. Scale: a narrow generate bounded by slice(3) BEFORE
+    exploding, so at most three rows per cohort document are ever
+    produced. The cohort restriction (round-11 verdict item 5, the
+    ts_gapfill_interpolate pattern) exists because the full-corpus
+    variant's bench cell was dominated by collect()ing 3 rows/doc —
+    1.5M driver-side rows at sf10 over a 0.2 s plan — which
+    misclassified a linear output explosion as a superlinear plan; a
+    1% cohort keeps the flatten's plan shape under measurement while
+    the result stays collect-sized at any sf."""
     docs = _table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.posexplode(F.slice(T.tokens_col(F.col("text")), 1, 3)).alias("pos", "token"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    return (
+        docs.where(F.col("doc_id") % 100 == 7)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.slice(T.tokens_col(F.col("text")), 1, 3)
+            ).alias("pos", "token"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
 
 
 @register("text_heavy_hitters", T.oracle_heavy_hitters())
@@ -4498,8 +4518,12 @@ def corpus_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence by min doc_id — a deterministic global order). The
     curation signal quality scores miss: a pristine source that adds
     no new language is redundant against the mixture. Scale: map-side
-    per-doc token dedup, two postings-shaped shuffles with partial
-    aggregation, |sources|-row output."""
+    per-doc token dedup, ONE corpus-sized postings shuffle into the
+    (token, source)->min(doc_id) rollup, then a single linear chain
+    (vocabulary-sized shuffle + tiny per-source agg) serving both
+    outputs — no plan branch, so no reliance on exchange reuse
+    (which lambda canonicalization defeats; ADVICE r11).
+    |sources|-row output."""
     return C.source_novelty(_table(spark, sf_dir, "documents"))
 
 
@@ -4601,7 +4625,8 @@ def hub_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), g AS (SELECT MAX(last_us) AS global_last_us FROM p)
 SELECT p.partition, p.n_events, p.first_us, p.last_us,
   CAST(g.global_last_us - p.last_us AS BIGINT) AS drift_us,
-  CAST(p.n_events * 3600000000 // (p.last_us - p.first_us + 1) AS BIGINT)
+  CAST(CAST(p.n_events AS HUGEINT) * 3600000000
+       // (p.last_us - p.first_us + 1) AS BIGINT)
     AS events_per_hour
 FROM p, g""",
 )
@@ -4630,7 +4655,17 @@ def hub_partition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_us",
         "last_us",
         (F.col("global_last_us") - F.col("last_us")).cast("long").alias("drift_us"),
-        F.expr("n_events * 3600000000 div (last_us - first_us + 1)")
+        # 128-bit product (ADVICE r11): n_events * 3.6e9 wraps int64 at
+        # ~2.6e9 events in one partition — within reach at 100 TB — and
+        # non-ANSI Spark wraps silently where the DuckDB oracle raises.
+        # DECIMAL(38,0) carries the product exactly; `div` on decimals
+        # is exact integral division (verified against Python bigints).
+        # Residual bound: only the QUOTIENT itself must fit int64,
+        # i.e. < 9.2e18 events/hour — unreachable.
+        F.expr(
+            "CAST(n_events AS DECIMAL(38,0)) * 3600000000"
+            " div (last_us - first_us + 1)"
+        )
         .cast("long")
         .alias("events_per_hour"),
     )
