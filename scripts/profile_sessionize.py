@@ -35,6 +35,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

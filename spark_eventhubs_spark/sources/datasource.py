@@ -739,9 +739,20 @@ def commit_staged_paths(
             },
             schema=fs,
         )
-        papq.write_table(
-            out, os.path.join(pdir, f"commit-{commit_tag}.parquet")
-        )
+        # Write-then-RENAME (never write the visible name in place):
+        # readers scan partition dirs for footer stats on every
+        # micro-batch — at a 5 ms trigger cadence a reader reliably
+        # catches an in-place write mid-flight and dies with "Parquet
+        # magic bytes not found in footer" (reproduced at sf10,
+        # round 12). The dot-prefix keeps the in-flight file invisible
+        # to _parquet_files; os.replace is atomic within a directory,
+        # so a committed file is only ever seen complete — which is
+        # also what the _RG_STATS_CACHE immutability contract
+        # (top of file) has always assumed of this path.
+        final = os.path.join(pdir, f"commit-{commit_tag}.parquet")
+        tmp = os.path.join(pdir, f".inprogress-commit-{commit_tag}.parquet")
+        papq.write_table(out, tmp)
+        os.replace(tmp, final)
     for path in paths:
         if os.path.exists(path):
             os.remove(path)
