@@ -533,6 +533,74 @@ SELECT v.source, v.n_vocab,
 FROM vocab v LEFT JOIN intro i ON v.source = i.source"""
 
 
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 n_bins: int = 10) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: distinct tokens binned by
+    WHERE in the corpus they first occur (doc_id deciles — ingestion
+    order), with per-bin new-token counts and the running cumulative.
+    A flattening curve says additional same-shaped data stops adding
+    language — the stop-crawling / rebalance-sources signal that
+    complements per-source novelty ([[source_novelty]] asks WHO adds
+    vocabulary, this asks WHETHER more data still does).
+
+    Scale: ONE corpus-sized postings shuffle into (token -> min
+    doc_id), a 1-row broadcast of max(doc_id) (the documented
+    scalar-broadcast pattern, never a global window), and an
+    |n_bins|-row aggregate; the cumulative runs on n_bins rows.
+    Output is exactly n_bins-or-fewer rows; no driver collect."""
+    from pyspark.sql import Window
+
+    first = (
+        df.select(
+            F.col("doc_id"),
+            F.explode(
+                F.array_distinct(tokens_col(F.col(text_col)))
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = df.agg(F.max("doc_id").alias("max_doc"))
+    bins = (
+        first.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"first_doc * {n_bins} div (max_doc + 1)"),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return bins.select(
+        "bin",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+def oracle_vocab_growth(n_bins: int = 10) -> str:
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS token
+  FROM documents
+), first AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+), mx AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+bins AS (
+  SELECT LEAST({n_bins - 1}, first_doc * {n_bins} // (max_doc + 1)) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+  FROM first, mx GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_new_tokens,
+  CAST(SUM(n_new_tokens) OVER (ORDER BY bin
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM bins"""
+
+
 # ---------------------------------------------------------------------
 # DSIR: data selection via importance resampling (Xie et al. 2023,
 # "Data Selection for Language Models via Importance Resampling")

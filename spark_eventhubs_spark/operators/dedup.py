@@ -640,6 +640,78 @@ FROM ({inner}) pairs
 GROUP BY 1"""
 
 
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_bp: int = 7000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Near-duplicate overlap matrix BY SOURCE PAIR: verified near-dup
+    pairs rolled up to unordered (source, source) cells with pair
+    counts and the integer mean similarity. The curation question
+    behind it: which sources are crawling EACH OTHER (off-diagonal
+    mass — drop one side) vs merely repeating themselves (diagonal
+    mass — dedup within). Per-source quality and novelty scores see
+    neither.
+
+    Scale: shares :func:`near_dup_pairs`'s memoized candidate/verify
+    stages (zero new corpus scans when they're warm), then joins the
+    pair list — candidate-sized, not corpus-sized — twice against the
+    (doc_id, source) projection on the equi-key, and aggregates to at
+    most |sources|^2 rows. Mean similarity is SUM div COUNT in basis
+    points, exact in integers on both engines."""
+    pairs = near_dup_pairs(
+        df, text_col, threshold_bp, num_hashes, band_size, shingle_k
+    )
+    src = df.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(jaccard_bp) div count(1)")
+            .cast("long")
+            .alias("mean_jaccard_bp"),
+        )
+    )
+
+
+def oracle_cross_source_dup_matrix(
+    threshold_bp: int = 7000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> str:
+    inner = oracle_near_dup_pairs(threshold_bp, num_hashes, band_size, shingle_k)
+    return f"""SELECT
+  LEAST(da.source, db.source) AS source_lo,
+  GREATEST(da.source, db.source) AS source_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(p.jaccard_bp) // COUNT(*) AS BIGINT) AS mean_jaccard_bp
+FROM ({inner}) p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2"""
+
+
 # ---- SimHash ----
 
 def simhash(

@@ -4157,6 +4157,95 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_seasonal_anomaly",
+    oracle_hub_cte()
+    + """
+, cells AS (
+  SELECT event_type,
+    enq_us // 86400000000 AS day_bucket,
+    (enq_us // 3600000000) % 24 AS hod,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hub GROUP BY 1, 2, 3
+), base AS (
+  SELECT event_type, hod,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(cnt) AS BIGINT) AS total_events
+  FROM cells GROUP BY 1, 2
+)
+SELECT b.event_type, CAST(b.hod AS BIGINT) AS hod, b.n_days, b.total_events,
+  CAST(COUNT(*) FILTER (
+    WHERE c.cnt * b.n_days * 100 > 150 * b.total_events) AS BIGINT)
+    AS n_anomalous_days
+FROM base b JOIN cells c
+  ON c.event_type = b.event_type AND c.hod = b.hod
+GROUP BY 1, 2, 3, 4""",
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) traffic baseline + anomaly census: per
+    (event_type, hour-of-day) the day count, total events, and how
+    many individual days ran >1.5x that slot's cross-day mean — the
+    diurnal-profile monitor a pipeline uses to catch replayed
+    backfills and bot bursts that a global MAD over hours
+    ([[ts_mad_outliers]]) smears out, because 3am traffic is compared
+    only against other 3am traffic. Exactness: the 1.5x test is the
+    integer cross-multiplication `cnt * n_days * 100 > 150 * total`,
+    no division on either engine. Scale: ONE corpus-sized map-side-
+    combined rollup to (type, day, hod) cells; the baseline is
+    |types| x 24 rows, broadcast back onto the cells; output is the
+    baseline's own row count."""
+    hub = load_hub_flat(spark, sf_dir)
+    cells = hub.groupBy(
+        "event_type",
+        F.expr("enq_us div 86400000000").alias("day_bucket"),
+        F.expr("(enq_us div 3600000000) % 24").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    base = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("total_events"),
+    )
+    return (
+        cells.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy(
+            "event_type",
+            F.col("hod").cast("long").alias("hod"),
+            "n_days",
+            "total_events",
+        )
+        .agg(
+            F.count_if(
+                F.col("cnt") * F.col("n_days") * 100
+                > 150 * F.col("total_events")
+            )
+            .cast("long")
+            .alias("n_anomalous_days")
+        )
+    )
+
+
+@register("corpus_vocab_growth", C.oracle_vocab_growth())
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve (operators/corpus.py:
+    vocab_growth): distinct tokens binned by the ingestion-order
+    decile of their first occurrence, with the running cumulative —
+    whether more same-shaped data still adds language, the
+    stop-crawling signal next to source_novelty's who-adds-it. Scale:
+    one corpus-sized postings shuffle to (token -> min doc_id), a
+    1-row broadcast max, a 10-row agg + 10-row cumulative window."""
+    return C.vocab_growth(_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_cross_source_matrix", D.oracle_cross_source_dup_matrix())
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup overlap matrix by source pair (operators/dedup.py:
+    cross_source_dup_matrix): which sources crawl each other
+    (off-diagonal) vs repeat themselves (diagonal). Shares the
+    memoized LSH candidate/verify stages with dedup_ngram_jaccard /
+    dedup_threshold_curve — zero extra corpus scans when warm — then
+    two candidate-sized equi-joins and a |sources|^2-bounded agg."""
+    return D.cross_source_dup_matrix(_table(spark, sf_dir, "documents"))
+
+
 @register("multimodal_wav_stats", M.oracle_wav_stats())
 def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PCM WAV decode in the audio-features path: per document a
