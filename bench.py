@@ -100,6 +100,31 @@ def main() -> None:
                 pass
     pretouch_s = round(time.time() - t_touch, 3)
 
+    # Host-speed canary (round 12): a FIXED single-thread workload
+    # timed before Spark starts, so cross-round records carry a
+    # comparable host-throughput axis. Motivation: the r12 idle-host
+    # record read the unchanged pure-parquet m40 scan at ~half the r11
+    # idle figure (and the r9 record, taken at load 16.6, beat both) —
+    # round-over-round absolute comparisons are meaningless without
+    # knowing whether the box itself moved. py_canary_s is a CPython
+    # integer loop (CPU/IPC); np_canary_s is a 1024^2 float64 matmul
+    # x8 (FPU + memory bandwidth). Bigger = slower host.
+    t0 = time.time()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    py_canary_s = round(time.time() - t0, 3)
+    try:
+        import numpy as _np
+
+        a = _np.ones((1024, 1024))
+        t0 = time.time()
+        for _ in range(8):
+            a = a @ a * 1e-3
+        np_canary_s = round(time.time() - t0, 3)
+    except Exception:
+        np_canary_s = -1.0
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
@@ -390,6 +415,10 @@ def main() -> None:
         # 6): cells never include first-touch cold-disk reads
         "pretouch_bytes": touch_bytes,
         "pretouch_s": pretouch_s,
+        # fixed-work host-speed canaries (bigger = slower box) — the
+        # axis for judging cross-round absolute-throughput deltas
+        "py_canary_s": py_canary_s,
+        "np_canary_s": np_canary_s,
         "host_load_1m_pre": host_load_1m,
         "dirty_kb_pre_sync": dirty_kb,
         # context recycled every N entries so per-cell figures can't
