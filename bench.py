@@ -258,6 +258,14 @@ def main() -> None:
             # inflate, nothing deflates, so the lower sample is truer)
             timings[name] = round(samples[(len(samples) - 1) // 2], 3)
             spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        # progress to stderr (stdout carries ONLY the JSON line): a
+        # crashed long run is attributable to its entry post-mortem
+        print(
+            f"[bench] {qi + 1}/{len(qs)} {name} "
+            f"{timings.get(name, 'FAIL')}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # throughput: per-event scan cost through the hub projection on the
     # flagship windowed agg. The events table is replicated by path so
