@@ -27,10 +27,15 @@ os.environ.setdefault("SEH_STREAM_DEBUG", "1")
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
-    names = [a for a in args if not os.path.isdir(a)] or [
-        "stream_heavy_hitters", "stream_running_counters"
-    ]
+    # Only argv[1] may be the sf_dir, and only if it LOOKS like a path
+    # — a mistyped path must error out, never be silently reinterpreted
+    # as an entry name (r12 ADVICE)
+    sf_dir = "/root/testdata/sf0.1"
+    if args and (os.sep in args[0] or args[0].startswith(".")):
+        if not os.path.isdir(args[0]):
+            raise SystemExit(f"sf_dir does not exist: {args[0]}")
+        sf_dir = args.pop(0)
+    names = args or ["stream_heavy_hitters", "stream_running_counters"]
     ticks = [int(t) for t in os.environ.get("SEH_PROF_TICKS", "5,50").split(",")]
     reps = int(os.environ.get("SEH_PROF_REPS", "3"))
 
@@ -42,6 +47,11 @@ def main() -> int:
     )
     import __spark_entry__ as entry
 
+    qs = entry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown entry name(s): {unknown}")
+
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -51,7 +61,6 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     configure_session(spark)
-    qs = entry.queries()
 
     for name in names:
         fn = qs[name]

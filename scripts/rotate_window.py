@@ -51,6 +51,21 @@ GOLDEN_REL = "docs/PLAN_FINGERPRINTS.json"
 # same version.
 GOLDEN_FMT_REL = "docs/PLAN_FINGERPRINTS_FORMAT"
 
+# Shared drain/flush helpers whose rewrite changes EVERY consuming
+# entry's behavior without touching any entry body or plan fingerprint
+# (streaming drains leave no batch plan golden). Round-12 ADVICE: the
+# r12 _threaded_drain rework force-pended only the two twins whose
+# bodies also changed; the other eight rode their old green with a
+# changed shared helper. An entry is force-pended when any of these
+# helpers' AST-extracted source differs from its last-green commit and
+# the entry's current body references the helper (directly, or
+# transitively through another listed helper).
+SHARED_HELPERS = (
+    "_run_stream_to_memory",
+    "_threaded_drain",
+    "_await_state_flush",
+)
+
 
 def ledger_rounds(repo: str = REPO) -> list[int]:
     """Rounds with a CORRECTNESS file present, ascending."""
@@ -164,6 +179,30 @@ def entry_source_block(text: str, fname: str) -> str | None:
     return None
 
 
+def changed_shared_helpers(cur_src: str, old_src: str) -> frozenset[str]:
+    """Listed SHARED_HELPERS whose AST-extracted source differs
+    between the two module texts, closed transitively: a helper whose
+    current body references a changed helper is itself changed
+    (streaming entries name only _run_stream_to_memory, which calls
+    _threaded_drain)."""
+    dirty = {
+        h for h in SHARED_HELPERS
+        if entry_source_block(old_src, h) != entry_source_block(cur_src, h)
+    }
+    for _ in range(len(SHARED_HELPERS)):
+        grew = False
+        for h in SHARED_HELPERS:
+            if h in dirty:
+                continue
+            body = entry_source_block(cur_src, h) or ""
+            if any(d in body for d in dirty):
+                dirty.add(h)
+                grew = True
+        if not grew:
+            break
+    return frozenset(dirty)
+
+
 def changed_since_green(
     repo: str, registered: list[str], last: dict[str, int],
     fn_names: dict[str, str],
@@ -193,6 +232,7 @@ def changed_since_green(
     old_src: dict[str, str | None] = {}
     old_golden: dict[str, dict | None] = {}
     old_fmt: dict[str, str | None] = {}
+    helpers_changed: dict[str, frozenset[str]] = {}
     changed = []
     for name in registered:
         rnd = last.get(name, -1)
@@ -212,12 +252,18 @@ def changed_since_green(
                 old_golden[c] = {}
             f = _git_show(repo, c, GOLDEN_FMT_REL)
             old_fmt[c] = f.strip() if f else None
+            helpers_changed[c] = changed_shared_helpers(
+                cur_src, old_src[c] or ""
+            )
         if old_src[c] is None:
             continue
         fname = fn_names.get(name, name)
         then_fn = entry_source_block(old_src[c], fname)
         now_fn = entry_source_block(cur_src, fname)
         if then_fn != now_fn:
+            changed.append(name)
+            continue
+        if now_fn and any(h in now_fn for h in helpers_changed[c]):
             changed.append(name)
             continue
         # golden compare only within one normalization format — a

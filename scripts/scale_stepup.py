@@ -157,6 +157,18 @@ def build_upsampled(spark, k: int, out_dir: str) -> str:
     for t, keys in KEYED.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         shifts = {kc: df.agg(F.max(kc)).first()[0] + 1 for kc in keys}
+        emb_dim = 0
+        if t == "embeddings":
+            # bound once, ahead of the copy loop (r12 ADVICE: the old
+            # i==0-branch binding left a None/NameError foot-gun)
+            first_row = df.select("embedding").first()
+            if first_row is None or first_row[0] is None:
+                raise SystemExit(
+                    f"{SRC}/embeddings.parquet is empty or has a null "
+                    "first embedding — cannot derive the sign-flip "
+                    "dimension for the replica"
+                )
+            emb_dim = len(first_row[0])
         copies = []
         for i in range(k):
             c = df
@@ -184,8 +196,6 @@ def build_upsampled(spark, k: int, out_dir: str) -> str:
                         ),
                     ),
                 )
-            if t == "embeddings" and i == 0:
-                emb_dim = len(df.select("embedding").first()[0])
             if t == "embeddings" and i > 0:
                 # Per-copy deterministic ORTHOGONAL sign-flip (round-11
                 # verdict item 4): copying vectors byte-identical gave

@@ -2716,6 +2716,20 @@ def _await_state_flush(q, deadline_s: float, name: str,
     import time as _time
 
     while _time.time() < deadline_s:
+        if not q.isActive:
+            # a dead query freezes lastProgress: surface its real
+            # failure now instead of burning the remaining budget and
+            # raising a misleading flush-deadline error (r12 ADVICE)
+            exc = q.exception()
+            if exc is not None:
+                raise RuntimeError(
+                    f"{name}: streaming query died during watermark "
+                    f"flush wait: {exc}"
+                ) from exc
+            raise RuntimeError(
+                f"{name}: streaming query terminated during watermark "
+                "flush wait without flushing its state"
+            )
         lp = q.lastProgress
         ops = (lp or {}).get("stateOperators") or []
         if ops and ops[0].get("numRowsTotal", 2**63) <= 1:

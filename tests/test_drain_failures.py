@@ -51,15 +51,32 @@ def test_threaded_drain_passes_through_on_success():
 class _StuckQuery:
     """lastProgress never reaches the flushed state."""
 
+    isActive = True
     lastProgress = {"stateOperators": [{"numRowsTotal": 999}]}
 
 
 class _FlushedQuery:
+    isActive = True
     lastProgress = {"stateOperators": [{"numRowsTotal": 1}]}
 
 
 class _NoProgressQuery:
+    isActive = True
     lastProgress = None
+
+
+class _DeadQuery:
+    """Query died mid-flush: isActive False, exception() carries the
+    real failure, lastProgress frozen pre-flush."""
+
+    isActive = False
+    lastProgress = {"stateOperators": [{"numRowsTotal": 999}]}
+
+    def __init__(self, exc=None):
+        self._exc = exc
+
+    def exception(self):
+        return self._exc
 
 
 def test_await_state_flush_raises_at_deadline():
@@ -78,6 +95,29 @@ def test_await_state_flush_raises_when_no_progress_ever():
 
 def test_await_state_flush_returns_once_state_drained():
     _await_state_flush(_FlushedQuery(), time.time() + 5, "cat_x", poll_s=0.01)
+
+
+def test_await_state_flush_surfaces_dead_query_error_immediately():
+    """r12 ADVICE: a query that dies during the flush wait must
+    surface its OWN error at once — not a misleading flush-deadline
+    message after the full remaining budget burns."""
+    boom = _Boom("executor lost")
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="died during watermark") as ei:
+        _await_state_flush(
+            _DeadQuery(boom), time.time() + 30, "cat_x", poll_s=0.01
+        )
+    assert time.time() - t0 < 5
+    assert ei.value.__cause__ is boom
+
+
+def test_await_state_flush_reports_clean_termination_without_flush():
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="terminated during watermark"):
+        _await_state_flush(
+            _DeadQuery(None), time.time() + 30, "cat_x", poll_s=0.01
+        )
+    assert time.time() - t0 < 5
 
 
 def test_forced_flush_timeout_surfaces_from_threaded_drain():

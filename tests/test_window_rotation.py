@@ -174,15 +174,35 @@ def test_entry_source_block_is_ast_precise():
     assert rot.entry_source_block(moved, "x") == block
 
 
-def test_changed_since_green_flags_the_r12_rewrites():
-    """Integration against the real git history: the entries this
-    round's generation stamped as CODE_CHANGED must include the
-    hub_approx_users rewrite (landed AFTER its r10 green — the
-    blind spot that motivated the rule)."""
+def test_code_changed_stamp_is_pending_never_deferred():
+    """Every entry the generation stamped as CODE_CHANGED must be in
+    the pending set — a stamped-but-deferred entry would mean the
+    force-pend rank was ignored. (Deliberately NOT pinned to specific
+    entry names: the r12 version asserted hub_approx_users, which
+    went green the very next round and made the suite red — the
+    stamp's content is round-state, the invariant is structural.)"""
     from spark_eventhubs_spark import _driver_green as G
-
-    assert "hub_approx_users" in G.CODE_CHANGED
-    # and every stamped entry is pending, never deferred
     from spark_eventhubs_spark import queries as Q
 
     assert not set(G.CODE_CHANGED) & Q._DRIVER_GREEN
+
+
+def test_shared_helper_change_is_transitive():
+    """The r12-ADVICE blind spot: a rewrite of a shared drain helper
+    must count as a change for every consuming entry, including
+    consumers that only reference it indirectly through another
+    listed helper."""
+    rot = _rotate_mod()
+    old = (
+        "def _threaded_drain(t, b, n):\n    return 1\n\n\n"
+        "def _run_stream_to_memory(df, name):\n"
+        "    _threaded_drain(None, 300, name)\n"
+    )
+    # only the INNER helper's body changes
+    cur = old.replace("return 1", "return 2")
+    dirty = rot.changed_shared_helpers(cur, old)
+    assert "_threaded_drain" in dirty
+    # the outer helper references the changed inner one -> transitively dirty
+    assert "_run_stream_to_memory" in dirty
+    # identical texts -> nothing dirty
+    assert rot.changed_shared_helpers(old, old) == frozenset()
