@@ -158,6 +158,7 @@ def main() -> None:
         pass
 
     from spark_eventhubs_spark.plans.hubview import (
+        artifact_build_count,
         clear_cached_plans,
         hub_view_flat,
     )
@@ -182,6 +183,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+    # Per-cell warmth attribution (round-12 verdict item 2): the
+    # recycle segment the cell ran in, plus how many session-scoped
+    # ingest artifacts (LSH banded frames, hub materializations, ...)
+    # were cache-miss built during the UNTIMED warmup vs during the
+    # TIMED runs. A non-zero timed count means the cell paid an
+    # artifact rebuild inside its measured window — the mechanism the
+    # r12 embed_neardup_pairs 5x could only be argued about in prose.
+    cell_segment: dict[str, int] = {}
+    cell_artifact_builds: dict[str, list[int]] = {}
     for qi, (name, fn) in enumerate(qs.items()):
         if recycle_n > 0 and qi > 0 and qi % recycle_n == 0:
             try:
@@ -238,20 +248,26 @@ def main() -> None:
         one_timed = name.startswith("stream_")
         samples: list[float] = []
         warm = None
+        cell_segment[name] = n_recycles
+        ab_warm = ab_timed = 0
         try:
             for i in range(4):
                 clear_cached_plans(spark, "query")
+                ab0 = artifact_build_count()
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 dt = time.time() - t0
                 if i == 0:
                     warm = dt
+                    ab_warm = artifact_build_count() - ab0
                     continue
+                ab_timed += artifact_build_count() - ab0
                 samples.append(dt)
                 if one_timed or (warm >= 2.0 and len(samples) >= 2):
                     break
         except Exception as e:  # a failed query must not hide the rest
             failures[name] = str(e).split("\n")[0][:200]
+        cell_artifact_builds[name] = [ab_warm, ab_timed]
         if samples:
             samples.sort()
             # lower median: n=3 -> true median, n=2 -> min (GC hiccups
@@ -437,6 +453,12 @@ def main() -> None:
         # move on a sub-2s cell listed here is recycle-boundary cold
         # start until an isolated probe says otherwise
         "recycle_first_entries": recycle_first,
+        # per-cell warmth attribution (r12 verdict item 2): the
+        # recycle segment each cell ran in, and [warmup, timed]
+        # ingest-artifact cache-miss builds — timed>0 means the cell
+        # paid an artifact rebuild inside its measured window
+        "queries_segment": cell_segment,
+        "queries_artifact_builds": cell_artifact_builds,
         # replica layout fingerprint (round-9 verdict item 4): builds
         # stamp _layout.json; two records comparing cells are on the
         # same physical layout iff the fingerprints match

@@ -178,6 +178,41 @@ def centroids_from_acc(cents: list, acc: dict) -> list:
     ]
 
 
+def kmeans_seeds(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic codebook bootstrap: the first ``k`` vectors by id
+    as ``[(cid, [float, ...])]`` sorted by cid — the shared seed rule
+    of the batch Lloyd pass, its oracle CTE, and the streaming twin."""
+    rows = sorted(
+        df.where(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    return [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def assign_with_centroids(
+    df: DataFrame,
+    cents: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stateless final-assignment pass against a FIXED codebook:
+    (id, cluster_id, score_e6) via one zero-shuffle Arrow pass with
+    the centroids in the task closure — usable identically over a
+    batch frame or a micro-batch slice (the codebook is the only
+    state, and it is broadcast-by-closure, never shuffled)."""
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _final_assign_fn(cents, id_col, vec_col),
+        schema=f"{id_col} long, cluster_id long, score_e6 long",
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = KMEANS_K,
@@ -194,13 +229,7 @@ def kmeans_centroids(
     (see module docstring); a cell that goes empty keeps its previous
     centroid — mirrored by the oracle's COALESCE. Each iteration is
     ONE job whose result is <= k * n_partitions tiny partial rows."""
-    rows = sorted(
-        df.where(F.col(id_col) < k)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect(),
-        key=lambda r: r["cid"],
-    )
-    cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+    cents = kmeans_seeds(df, k, id_col, vec_col)
     base = df.select(F.col(vec_col))
     if iters > 1:
         base = base.persist()
@@ -227,10 +256,7 @@ def kmeans_assign(
     score_e6 = floor(cos(x, centroid) * 1e6). iters + 2 jobs total,
     zero shuffle; see module docstring for the exactness design."""
     cents = kmeans_centroids(df, k, iters, id_col, vec_col, q_scale)
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _final_assign_fn(cents, id_col, vec_col),
-        schema=f"{id_col} long, cluster_id long, score_e6 long",
-    )
+    return assign_with_centroids(df, cents, id_col, vec_col)
 
 
 def _oracle_kmeans_cte(

@@ -175,13 +175,31 @@ def _purge_stopped_sessions() -> None:
         del _df_cache[s]
 
 
+# Monotonic count of cache-miss builds of session-scoped INGEST
+# ARTIFACTS (every cache prefix except the per-run "query" plans,
+# which bench.py deliberately evicts before each timed run). bench.py
+# samples the delta around each cell so a cell that paid an artifact
+# rebuild — e.g. the LSH banded frame after a session recycle — is
+# machine-attributable from the record alone (round-12 verdict item 2:
+# the embed_neardup_pairs 5x moved with recycle alignment and could
+# only be argued about in prose).
+_artifact_builds = 0
+
+
+def artifact_build_count() -> int:
+    return _artifact_builds
+
+
 def cache_dataframe(spark: SparkSession, key: tuple, build) -> DataFrame:
+    global _artifact_builds
     per = _df_cache.get(spark)
     if per is None:
         _purge_stopped_sessions()
         per = _df_cache.setdefault(spark, {})
     df = per.get(key)
     if df is None:
+        if key and key[0] != "query":
+            _artifact_builds += 1
         df = per[key] = build()
     return df
 

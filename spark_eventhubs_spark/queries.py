@@ -3138,6 +3138,96 @@ def stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_STREAM_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def _embeddings_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached staging of the embeddings table as a four-file
+    parquet dir (range-split on vec_id) so streaming twins can replay
+    the corpus through a real file-source stream in several
+    micro-batches (maxFilesPerTrigger=1)."""
+    import os as _os
+
+    def _build():
+        from spark_eventhubs_spark import workdirs as _wd
+
+        d = _os.path.join(_wd.scratch_dir("seh_embstream_"), "embeddings")
+        (
+            _table(spark, sf_dir, "embeddings")
+            .repartitionByRange(4, "vec_id")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        return d
+
+    return _validated_scratch_memo(spark, ("embstream_dir", sf_dir), _build)
+
+
+@register("stream_kmeans", CL.oracle_kmeans_assign())
+def stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental k-means — the micro-batch twin of
+    ``embed_kmeans_assign``, driver-checked against the SAME oracle:
+    each Lloyd iteration replays the embedding corpus through a real
+    file-source stream (4 arrivals, maxFilesPerTrigger=1) whose
+    foreachBatch computes per-batch integer partials against the
+    FIXED iteration codebook; the driver merges them with
+    ``merge_partial_rows`` — integer sums commute, so the merged
+    update is bit-identical to the one-shot batch pass over ANY
+    micro-batch split. The final assignment is a stateless streaming
+    mapInPandas pass into the memory sink. Idempotent under
+    micro-batch re-execution: partials are keyed by epoch id, a
+    re-run overwrites its own slot and can never double-count.
+    Scale: per trigger one zero-shuffle Arrow pass emitting <= k
+    partial rows; driver state is k x dim integers; the codebook
+    travels by task closure, never a shuffle."""
+    from spark_eventhubs_spark import workdirs as _wd
+
+    arrivals = _embeddings_stream_dir(spark, sf_dir)
+    run = next(_STREAM_RUNS)
+    cents = CL.kmeans_seeds(_table(spark, sf_dir, "embeddings"))
+    for it in range(CL.KMEANS_ITERS):
+        by_epoch: dict = {}
+
+        def _partials(bdf, bid, _c=cents, _a=by_epoch):
+            _a[bid] = CL.kmeans_partials(bdf, _c).collect()
+
+        ck = _wd.scratch_dir("seh_ckpt_")
+        try:
+            q = (
+                spark.readStream.schema(_EMB_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(arrivals)
+                .writeStream.foreachBatch(_partials)
+                .queryName(f"cat_skm_{run}_iter{it}")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    f"stream_kmeans iteration {it} timed out after 300s"
+                )
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            _wd.release(ck)
+        acc: dict = {}
+        for bid in sorted(by_epoch):
+            CL.merge_partial_rows(acc, by_epoch[bid])
+        cents = CL.centroids_from_acc(cents, acc)
+    name = f"cat_skm_{run}"
+    sdf = (
+        spark.readStream.schema(_EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+    )
+    _run_stream_to_memory(CL.assign_with_centroids(sdf, cents), name)
+    return spark.sql(
+        f"SELECT vec_id, cluster_id, score_e6 FROM {name}"
+    )
+
+
 @register("dedup_span_profile", D.oracle_duplicated_span_profile())
 def dedup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span profile
