@@ -352,9 +352,32 @@ def main() -> int:
         n: inspect.unwrap(f).__name__ for n, f in Q._QUERIES.items()
     }
     changed = changed_since_green(REPO, registered, last, fn_names)
+    # --force-pend=a,b: names the builder KNOWS changed but the two
+    # automatic signals can't see — e.g. an operator-module rewrite
+    # whose entry body is a one-line delegate AND whose last-green
+    # commit predates the current golden-normalization format (the
+    # format gate then mutes the fingerprint compare). Stamped into
+    # CODE_CHANGED like any detected change; --check honors the stamp
+    # so a generation carrying a force-pend stays check-clean.
+    force: list[str] = []
+    for a in sys.argv[1:]:
+        if a.startswith("--force-pend="):
+            force = [s for s in a.split("=", 1)[1].split(",") if s]
+    unknown = [n for n in force if n not in registered]
+    if unknown:
+        print(f"unknown --force-pend entries: {unknown}")
+        return 2
+    check = "--check" in sys.argv
+    if check and os.path.exists(GENERATED):
+        m = re.search(
+            r"^CODE_CHANGED = \(([^)]*)\)", open(GENERATED).read(), re.M
+        )
+        if m:
+            stamped = re.findall(r'"([^"]+)"', m.group(1))
+            force = [n for n in stamped if n in registered]
+    changed = changed + [n for n in force if n not in changed]
     pending, green = compute_sets(registered, last, changed=set(changed))
     text = render(sorted(green), pending, last, rounds, changed)
-    check = "--check" in sys.argv
     current = (
         open(GENERATED).read() if os.path.exists(GENERATED) else None
     )

@@ -580,13 +580,19 @@ def pairwise_above_threshold(
     cosine = dot/(sqrt(na)*sqrt(nb)) either way, but 2/3 less vector
     arithmetic in the post-join hot loop.
 
-    Both vector stages run as Arrow-batched ``mapInPandas`` numpy
-    kernels with the sequential-fold arithmetic of
-    :func:`_seq_dot_np` (bit-equal to the SQL oracle): bucket+norm
-    before the join, pair scoring after it. The join itself stays a
-    JVM equi-join on the bucket key."""
-    import numpy as np
-
+    The bucket+norm stage runs as an Arrow-batched ``mapInPandas``
+    numpy kernel with the sequential-fold arithmetic of
+    :func:`_seq_dot_np` — and is checkpoint-memoized, so a catalog/
+    production session pays it once per corpus. The per-pair scoring
+    HOT path is pure JVM since round 13: ``zip_with`` + ``aggregate``
+    folds the element products left-to-right in double, which is the
+    exact same operation order as the numpy ``cumsum`` kernel it
+    replaced (cast-to-double, multiply, strictly sequential add), so
+    scores stay bit-equal to the SQL oracle while the candidate
+    stream never crosses an Arrow boundary — the r12 bench cell's
+    multi-second jitter was Python-worker spawn + 100s-of-MB Arrow
+    transfer on exactly this stage, and at 100 TB the candidate
+    stream is the operator's dominant data volume."""
     if n_planes is None:
         from spark_eventhubs_spark.operators.dedup import _count_cached
 
@@ -617,28 +623,19 @@ def pairwise_above_threshold(
         )
     )
 
-    def _score_fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
-            B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            dot = np.cumsum(A * B, axis=1)[:, -1]
-            s = np.floor(
-                dot / (pdf["na"].to_numpy() * pdf["nb"].to_numpy()) * 1e6
-            ).astype(np.int64)
-            keep = s >= threshold_e6
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "score_e6": s[keep],
-                }
-            )
-
-    return cand.mapInPandas(_score_fn, "vec_a long, vec_b long, score_e6 long")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    score = F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1e6))
+    return (
+        cand.select("vec_a", "vec_b", score.cast("long").alias("score_e6"))
+        .where(F.col("score_e6") >= F.lit(threshold_e6))
+    )
 
 
 def knn_join(
