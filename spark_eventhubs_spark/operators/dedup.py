@@ -1073,16 +1073,26 @@ def chunk_dedup(
     Scale topology:
     - chunking is a narrow JVM transform (sequence + slice), ~n/w
       chunk rows after ONE explode;
-    - ownership is a groupBy(chunk) agg — one shuffle of chunk rows
-      with map-side combine;
-    - the chunk->stats equi-join is skew-prone at scale (a boilerplate
-      chunk appears in millions of docs); AQE's skew-join split
-      handles it, and the chunk key can be swapped for its md5 to
-      bound key width;
+    - ownership collapses to ONE rule: keep iff doc_id == MIN(doc_id)
+      over the chunk key (doc_id > the chunk's min doc_id implies the
+      chunk exists in a smaller doc, i.e. nd >= 2 AND doc != owner; a
+      chunk repeated only within one doc keeps all its occurrences,
+      exactly the old nd >= 2 semantics). That MIN is a
+      whole-partition/no-sort window over the one exploded chunk
+      frame — pre-r13 ownership was a separate groupBy(chunk)
+      aggregate equi-joined back, and the tokenize + chunk-transform
+      production ran once per consumer (AQE stage reuse does not fire
+      across the differently-pruned subtree copies). Window state is
+      one chunk's occurrence group (spill-backed) — the same rows the
+      join's build side held; a boilerplate hot chunk is a straggler
+      group here vs a skew-split join there, the price of producing
+      the chunks once;
     - reassembly is a groupBy(doc_id) with an order-restoring
       array_sort over (position, chunk) structs, so the result is
       deterministic despite collect_list's arbitrary order.
     """
+    from pyspark.sql import Window
+
     toks = tokens_col(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
     chunk_arr = F.when(
@@ -1095,17 +1105,13 @@ def chunk_dedup(
     chunks = df.select(
         F.col("doc_id"), F.posexplode(chunk_arr).alias("j", "chunk")
     )
-    stats = chunks.groupBy("chunk").agg(
-        F.min("doc_id").alias("owner"),
-        F.countDistinct("doc_id").alias("nd"),
-    )
-    flagged = chunks.join(stats, "chunk").select(
+    w_chunk = Window.partitionBy("chunk")
+    flagged = chunks.select(
         "doc_id",
         "j",
         "chunk",
         F.when(
-            (F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")),
-            F.lit(0),
+            F.col("doc_id") != F.min("doc_id").over(w_chunk), F.lit(0)
         ).otherwise(F.lit(1)).alias("keep"),
     )
     kept_sorted = F.transform(
@@ -1178,13 +1184,24 @@ def exact_substring_spans(
     exists to enumerate repeated substrings without materializing all
     positions; at cluster scale the equivalent is one stride-1 gram
     explode (n_tokens rows — the deliberate w-times-denser cost vs
-    chunk_dedup), one 60-bit-hash groupBy with map-side combine, a
-    co-partitioned join back, and per-doc WINDOW interval-union (the
-    islands pattern: a gram opens a new span iff it starts past the
-    running MAX of prior span ends) — no global sort, no all-pairs,
-    every wide stage keyed by gram hash or doc_id. Window state is
-    per-doc and streams in sorted order, so skew is bounded by the
-    longest document, not the corpus."""
+    chunk_dedup), ONE shuffle of the narrow (doc_id, i, h) rows on the
+    60-bit gram hash with a COUNT window over h (whole-partition/
+    no-sort, spill-backed per-gram groups), and per-doc WINDOW
+    interval-union (the islands pattern: a gram opens a new span iff
+    it starts past the running MAX of prior span ends) — no global
+    sort, no all-pairs, every wide stage keyed by gram hash or doc_id.
+    Pre-r13 the occurrence count was a separate groupBy(h) aggregate
+    joined back, and the gram production (tokenize + slice-join + md5
+    per token position — the operator's CPU bulk) executed once per
+    consumer: AQE stage reuse does not fire across the
+    differently-pruned subtree copies. The count window shuffles the
+    same h-keyed rows the join probe side did, so shuffle bytes are
+    unchanged while the production halves; a boilerplate hot gram is
+    one straggler group (spilled past the in-memory threshold) vs the
+    join's AQE skew split — the documented price of producing grams
+    once. Doc-window state stays bounded by the longest document."""
+    from pyspark.sql import Window
+
     L = min_len
     toks = tokens_col(F.col(text_col))
     n_g = F.size(toks) - F.lit(L) + 1
@@ -1193,9 +1210,9 @@ def exact_substring_spans(
     # CPU bulk) to ONE task — measured 4.98 s single-task vs
     # sub-second spread at sf0.1
     grams = substring_grams(df, L, text_col)
-    freq = grams.groupBy("h").agg(F.count("*").alias("n_occ"))
+    w_h = Window.partitionBy("h")
     covered = (
-        grams.join(freq, "h")
+        grams.withColumn("n_occ", F.count(F.lit(1)).over(w_h))
         .where(F.col("n_occ") >= 2)
         .select("doc_id", "i", (F.col("i") + F.lit(L)).alias("e"))
     )

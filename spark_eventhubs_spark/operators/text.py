@@ -371,29 +371,38 @@ def tfidf_top_terms(df: DataFrame, top_n: int = 3, text_col: str = "text") -> Da
     tf * floor(1000 * ln(D/df))).
 
     Scale: one shuffle builds per-doc term counts (postings); term
-    document-frequencies are an aggregation OF that frame (vocabulary
-    rows only — natural-language vocabularies are millions of rows, so
-    the df side joins back on the term key as a normal shuffle join;
-    Catalyst broadcasts it when small). The per-doc top-N is a window
-    over the doc key, carrying only (doc, term, score)."""
+    document-frequencies come from a COUNT window over the term key of
+    that SAME frame — not a separate aggregate joined back, which
+    would re-run the tokenize + explode production once per consumer
+    (r13: AQE stage reuse does not fire across the differently-pruned
+    subtree copies, so the "shared" Exchange executed twice; guide
+    §2.4 — two operations keyed the same way share one exchange). The
+    window frame is whole-partition/no-sort, state = one term's
+    postings group (spill-backed); a hot term's group is the same row
+    set the join build side held. D is a 1-row broadcast aggregate
+    instead of an eager driver count, so the entry is one lazy plan.
+    The per-doc top-N is a window over the doc key, carrying only
+    (doc, term, score)."""
     from pyspark.sql import Window
 
-    d_total = df.count()
+    d_total = df.agg(F.count("*").cast("double").alias("d_total"))
     tf = (
         df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf_e3 = F.floor(F.lit(1000.0) * F.log(F.lit(float(d_total)) / F.col("df"))).cast("long")
+    w_term = Window.partitionBy("term")
+    idf_e3 = F.floor(
+        F.lit(1000.0) * F.log(F.col("d_total") / F.count(F.lit(1)).over(w_term))
+    ).cast("long")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_e3").desc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq.select("term", idf_e3.alias("idf_e3")), "term")
+        tf.join(F.broadcast(d_total))
         .select(
             "doc_id", "term",
-            (F.col("tf") * F.col("idf_e3")).cast("long").alias("score_e3"),
+            (F.col("tf") * idf_e3).cast("long").alias("score_e3"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= top_n)
@@ -416,11 +425,21 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     Spark and DuckDB agree bit-for-bit (same convention as TF-IDF).
 
     Scale: bigram construction is a JVM zip_with over token-array
-    slices (no shuffle); the count tables are postings-shaped
-    aggregations (|bigram-vocabulary| rows); the scoring joins
-    co-partition on the bigram / first-word keys and AQE broadcasts
-    them while they fit. Docs with <2 tokens drop out (explode of an
-    empty array), matching the oracle's len >= 2 filter."""
+    slices (no shuffle); c(w1,w2) and c(w1·) are COUNT windows over
+    the bigram / first-word keys of the ONE occurrence frame —
+    c(w1·) = number of occurrences whose first word is w1, which
+    equals the old sum-of-c2-over-distinct-bigrams by definition.
+    Pre-r13 the two counts were separate aggregates joined back, and
+    the whole tokenize + zip_with + explode production ran once per
+    consumer (three times: AQE stage reuse does not fire across the
+    differently-pruned subtree copies). Now: one production, two
+    whole-partition/no-sort count windows (spill-backed state = one
+    key's occurrence group — the same rows the join build side held),
+    one per-doc aggregate, zero joins. Docs with <2 tokens drop out
+    (explode of an empty array), matching the oracle's len >= 2
+    filter."""
+    from pyspark.sql import Window
+
     toks = tokens_col(F.col(text_col))
     # slice length must be non-negative: a 0- or 1-token doc yields an
     # empty bigram array (and drops at the explode), never a negative-
@@ -431,19 +450,20 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.slice(toks, 2, n_pairs),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = df.select("doc_id", F.explode(bigrams).alias("bigram"))
-    bgc = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
-    w1c = (
-        bgc.groupBy(F.split(F.col("bigram"), " ")[0].alias("w1"))
-        .agg(F.sum("c2").alias("c1"))
+    bg = df.select("doc_id", F.explode(bigrams).alias("bigram")).withColumn(
+        "w1", F.split(F.col("bigram"), " ")[0]
     )
+    w_bg = Window.partitionBy("bigram")
+    w_w1 = Window.partitionBy("w1")
     occ_e3 = F.floor(
-        F.lit(1000.0) * F.log(F.col("c1").cast("double") / F.col("c2"))
+        F.lit(1000.0)
+        * F.log(
+            F.count(F.lit(1)).over(w_w1).cast("double")
+            / F.count(F.lit(1)).over(w_bg)
+        )
     ).cast("long")
     return (
-        bg.join(bgc, "bigram")
-        .join(w1c, F.split(F.col("bigram"), " ")[0] == F.col("w1"))
-        .select("doc_id", occ_e3.alias("occ_e3"))
+        bg.select("doc_id", occ_e3.alias("occ_e3"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("occ_e3").alias("sum_e3"))
         .select(
@@ -545,31 +565,87 @@ def kl_divergence_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     and 1/n as integer division (the repo's ln-quantization
     convention), so Spark and DuckDB agree bit-for-bit.
 
-    Scale: per-doc tf and corpus tf are the same postings-shaped
-    aggregations as TF-IDF; the join-back is co-partitioned on the
-    token key (AQE broadcasts the vocabulary side while it fits); the
-    corpus total is a 1-row scalar broadcast."""
+    Scale: one postings shuffle builds per-doc tf; the corpus token
+    count C_t is a SUM window over the token key of that same frame
+    (whole-partition/no-sort, state = one token's compacted postings
+    group, spill-backed) instead of a separate vocabulary aggregate
+    joined back — the join form re-ran the tokenize + explode
+    production once per consumer (r13: AQE stage reuse does not fire
+    across the differently-pruned subtree copies). N (the corpus
+    total) comes from a narrow scan-only size() aggregate — exact
+    integer, no explode, no shuffle — broadcast as a 1-row scalar."""
+    from pyspark.sql import Window
+
     lnq = lambda col: F.floor(F.lit(1e6) * F.log(col.cast("double"))).cast("long")  # noqa: E731
     tf = (
         df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
     )
-    ctf = tf.groupBy("token").agg(F.sum("c").alias("corpus_c"))
-    total = ctf.agg(lnq(F.sum("corpus_c")).alias("ln_total_e6"))
+    w_t = Window.partitionBy("token")
     per_doc = (
-        tf.join(ctf, "token")
+        tf.withColumn("corpus_c", F.sum("c").over(w_t))
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),
             F.sum(F.col("c") * (lnq(F.col("c")) - lnq(F.col("corpus_c")))).alias("s_e6"),
         )
     )
+    total = (
+        df.select(F.size(tokens_col(F.col(text_col))).cast("long").alias("nt"))
+        .agg(lnq(F.sum("nt")).alias("ln_total_e6"))
+    )
     return per_doc.join(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         (
             F.expr("s_e6 DIV n_tokens")
+            - lnq(F.col("n_tokens"))
+            + F.col("ln_total_e6")
+        ).alias("kl_e6"),
+    )
+
+
+def entropy_kl_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token entropy AND KL divergence from ONE pass over
+    the (doc_id, token) count frame — the fusion corpus_quality_report
+    uses. Both signals are per-doc aggregates of the same compacted
+    postings rows (entropy needs c; KL needs c and the corpus count
+    C_t, a SUM window over the token key), so computing them in one
+    groupBy halves the heavy tokenize + explode + count production vs
+    joining :func:`token_entropy` and :func:`kl_divergence_scores`
+    (whose identical subplans did NOT get deduplicated at runtime —
+    r13 measured 12 distinct shuffle stages / 12 parquet scans for the
+    joined form). Quantization order is bit-identical to the
+    standalone operators: same lnq-before-sum, same integer DIV."""
+    from pyspark.sql import Window
+
+    lnq = lambda col: F.floor(F.lit(1e6) * F.log(col.cast("double"))).cast("long")  # noqa: E731
+    tf = (
+        df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    w_t = Window.partitionBy("token")
+    fused = (
+        tf.withColumn("corpus_c", F.sum("c").over(w_t))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * lnq(F.col("c"))).alias("se_e6"),
+            F.sum(F.col("c") * (lnq(F.col("c")) - lnq(F.col("corpus_c")))).alias("sk_e6"),
+        )
+    )
+    total = (
+        df.select(F.size(tokens_col(F.col(text_col))).cast("long").alias("nt"))
+        .agg(lnq(F.sum("nt")).alias("ln_total_e6"))
+    )
+    return fused.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (lnq(F.col("n_tokens")) - F.expr("se_e6 DIV n_tokens")).alias("entropy_e6"),
+        (
+            F.expr("sk_e6 DIV n_tokens")
             - lnq(F.col("n_tokens"))
             + F.col("ln_total_e6")
         ).alias("kl_e6"),
@@ -899,26 +975,33 @@ def cms_estimates(
     primitive, so the "approximate" sketch is exactly reproducible in
     SQL — the approximation is WHICH tokens collide, not randomness.
 
-    Scale: the sketch build shuffles only (row, cell) partial counts —
-    depth x width combiner rows per partition, independent of
-    vocabulary size (the CMS contract). True counts of the probe set
-    are an IN-filtered aggregation (bounded postings, like BM25), and
-    the estimate join touches depth x |probe| sketch cells."""
+    Scale: ONE pass over the token stream builds per-token counts
+    (vocabulary-sized, map-side combined); the sketch is then a
+    depth-way posexplode of THAT compacted frame summed into
+    depth x width cells, and the probe's true counts are an IN-filter
+    of the same frame — so the corpus text is tokenized exactly once.
+    Pre-r13 the token stream was re-produced per depth row (a
+    depth-way unionAll of independent explode subtrees) plus once
+    more for the true counts: 5 full scans of the corpus per run,
+    none deduplicated by exchange reuse. Sketch totals are sums of
+    per-token counts — identical integers to counting occurrences
+    directly (the CMS cell content is unchanged)."""
     probe = probe if probe is not None else list(CMS_PROBE)
-    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
-    rows = []
-    for j in range(depth):
-        rows.append(
-            toks.select(
-                F.lit(j).alias("j"),
+    tc = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = tc.select(
+        "n",
+        F.posexplode(
+            F.array(*[
                 F.pmod(md5_hash64(F.col("token"), seed=j + 1), F.lit(width))
-                .alias("cell"),
-            )
-        )
-    cells = rows[0]
-    for r in rows[1:]:
-        cells = cells.unionAll(r)
-    sketch = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+                for j in range(depth)
+            ])
+        ).alias("j", "cell"),
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.sum("n").alias("c"))
 
     probe_df = df.sparkSession.createDataFrame(
         [(t,) for t in probe], "token string"
@@ -938,9 +1021,8 @@ def cms_estimates(
         .agg(F.min("c").alias("est_c"))
     )
     true_c = (
-        toks.where(F.col("token").isin(probe))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_c"))
+        tc.where(F.col("token").isin(probe))
+        .select("token", F.col("n").alias("true_c"))
     )
     return (
         probe_df.join(true_c, "token", "left")

@@ -3381,19 +3381,23 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (diversity), KL divergence vs the corpus (domain outlierness), and
     bigram LM negative log likelihood (transition probability) in one
     frame — what a cleaning pipeline thresholds or a curriculum
-    sampler buckets on. Scale: all three signals derive from
-    postings-shaped aggregations of the SAME exploded-token frame;
-    entropy's and KL's identical (doc_id, token) count subplans plan
-    one Exchange that Spark's ReuseExchange shares, and the final
-    joins are co-partitioned on doc_id. Docs with <2 tokens carry NULL
-    nll_e3 (no bigrams), mirrored by the oracle's LEFT JOIN."""
+    sampler buckets on. Scale: entropy and KL are BOTH per-doc
+    aggregates of the one compacted (doc_id, token) count frame, so
+    they are computed in a single fused pass
+    (operators/text.py:entropy_kl_signals — one tokenize + explode
+    production, one postings shuffle, one SUM window for the corpus
+    counts); the bigram leg is its own one-production window plan
+    (bigram_lm_scores). Pre-r13 the three legs were independent
+    subtrees whose "identical" subplans were NOT deduplicated at
+    runtime (12 distinct shuffle stages / 12 parquet scans measured);
+    now the whole report runs 2 corpus productions and 6 shuffles.
+    Docs with <2 tokens carry NULL nll_e3 (no bigrams), mirrored by
+    the oracle's LEFT JOIN."""
     docs = _table(spark, sf_dir, "documents")
-    ent = T.token_entropy(docs)
-    kl = T.kl_divergence_scores(docs).select("doc_id", "kl_e6")
+    fused = T.entropy_kl_signals(docs)
     lm = T.bigram_lm_scores(docs).select("doc_id", "nll_e3")
     return (
-        ent.join(kl, "doc_id")
-        .join(lm, "doc_id", "left")
+        fused.join(lm, "doc_id", "left")
         .select("doc_id", "n_tokens", "entropy_e6", "kl_e6", "nll_e3")
     )
 

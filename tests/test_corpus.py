@@ -439,15 +439,18 @@ def test_chunk_dedup_fully_duplicated_doc_empties(spark):
 
 
 def test_chunk_dedup_topology(spark):
-    """Plan shape: exactly one explode (Generate) and shuffles only on
-    chunk (ownership agg + join) and doc_id (reassembly) — no extra
-    exchanges sneak in."""
+    """Plan shape: exactly ONE explode (Generate) — ownership is a MIN
+    window over the chunk key of the single exploded frame (r13: the
+    old groupBy+join form re-ran the chunk production on both join
+    inputs), then one doc_id reassembly shuffle — no extra production
+    sneaks back in."""
     from tests.conftest import SF_DIR
     from spark_eventhubs_spark.operators.dedup import chunk_dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = chunk_dedup(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 2  # chunk explode on both join inputs
+    assert plan.count("Generate") == 1  # chunk explode exactly once
+    assert "Window" in plan  # ownership = min(doc_id) over chunk
     # conservation: every chunk row lands exactly once
     out = chunk_dedup(docs).agg({"n_chunks": "sum"}).collect()[0][0]
     import math
