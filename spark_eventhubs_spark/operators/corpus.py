@@ -656,16 +656,17 @@ def dsir_weights(
     rank order is exactly what the paper resamples from).
 
     Scale: bigram construction and bucket hashing are narrow JVM
-    expressions evaluated ONCE — the bucket models and the
-    per-document scoring both read one shared (doc_id, bucket)
-    count aggregation, whose Exchange Spark's ReuseExchange plans a
-    single time (without the shared frame the full tokenize + md5
-    scan executed twice per run). The bucket-model outputs are
-    <= n_buckets rows — a CONSTANT (4096) independent of corpus
-    size, so the lambda table is the one provably size-safe
-    broadcast in this operator (same policy as the bloom positions).
-    Scoring is then one broadcast join plus ONE doc_id shuffle over
-    the compacted counts. The final top-20% rank is a global sort of the
+    expressions evaluated ONCE — the bucket models are SUM windows
+    over the bucket key of the one compacted (doc_id, is_target,
+    bucket) count frame, evaluated inline with the scoring (r13:
+    the prior aggregate-and-rejoin form re-ran the tokenize + md5
+    production once per consumer because AQE stage reuse never fires
+    across the differently-pruned subtree copies). Global totals are
+    a narrow scan-only aggregate broadcast as one row. Scoring ends
+    in ONE doc_id shuffle over the compacted counts; window state is
+    one bucket's compacted rows (<= |docs| each, spill-backed), and
+    bucket keys are md5-uniform so the window shuffle cannot skew.
+    The final top-20% rank is a global sort of the
     |docs|-row WEIGHT table (not the corpus); at 100 TB pass
     ``keep_mode="quantile"`` — the cutoff becomes one
     approximate-quantile 1-row aggregate broadcast into a narrow
@@ -705,36 +706,44 @@ def dsir_weights(
             F.lit(n_buckets),
         ).alias("b"),
     )
-    # ONE pass over the expensive feature extraction: both the bucket
-    # models and the per-document scoring consume the SAME
-    # (doc_id, is_target, b) -> n aggregation, so its Exchange is
-    # planned once and shared by ReuseExchange (the
-    # corpus_quality_report pattern). Pre-restructure, `occ` was
-    # consumed by two independent subtrees and the tokenize + gopher
-    # gate + bigram explode + md5 scan executed TWICE per run — the
-    # bench showed it as a ~12 s entry at sf0.1.
+    # ONE pass over the expensive feature extraction: pre-r13 the
+    # bucket models and the per-document scoring were two independent
+    # consumers of the SAME (doc_id, is_target, b) -> n aggregation,
+    # and the tokenize + gopher gate + bigram explode + md5 production
+    # executed once per consumer — runtime executed plans show AQE
+    # stage reuse never deduplicates the differently-pruned subtree
+    # copies (relying on ReuseExchange was a fiction; same finding as
+    # the r13 text-operator rewrites). Now the per-bucket model counts
+    # are SUM windows over the bucket key of the one compacted frame
+    # (whole-partition/no-sort, state = one bucket's <= |docs| rows,
+    # spill-backed), and the global totals come from a narrow
+    # scan-only aggregate (total bigrams = sum of greatest(|toks|-1,0),
+    # target side gated by the same is_target expression) broadcast as
+    # a 1-row scalar: exact integers, identical to summing the bucket
+    # models. One production, three exchanges, zero vocabulary joins.
     doc_b = occ.groupBy("doc_id", "is_target", "b").agg(
         F.count("*").alias("n")
     )
-    counts = doc_b.groupBy("b").agg(
-        F.sum("n").alias("cq"),
-        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("cp"),
+    w_b = Window.partitionBy("b")
+    cq_b = F.sum("n").over(w_b)
+    cp_b = F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).over(w_b)
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
+    tot = df.select(
+        n_bi.alias("nb"),
+        F.when(target, n_bi).otherwise(F.lit(0)).alias("nb_p"),
+    ).agg(
+        F.sum("nb").alias("cq_tot"), F.sum("nb_p").alias("cp_tot")
     )
-    tot = counts.agg(
-        F.sum("cq").alias("cq_tot"), F.sum("cp").alias("cp_tot")
-    )
-    lam = counts.join(F.broadcast(tot)).select(
-        "b",
-        F.floor(
-            F.lit(1e6)
-            * F.log(
-                ((F.col("cp") + 1) * (F.col("cq_tot") + n_buckets)).cast("double")
-                / ((F.col("cq") + 1) * (F.col("cp_tot") + n_buckets)).cast("double")
-            )
-        ).cast("long").alias("lam_e6"),
-    )
+    lam_e6 = F.floor(
+        F.lit(1e6)
+        * F.log(
+            ((cp_b + 1) * (F.col("cq_tot") + n_buckets)).cast("double")
+            / ((cq_b + 1) * (F.col("cp_tot") + n_buckets)).cast("double")
+        )
+    ).cast("long")
     scored = (
-        doc_b.join(F.broadcast(lam), "b")
+        doc_b.join(F.broadcast(tot))
+        .select("doc_id", "n", lam_e6.alias("lam_e6"))
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_grams"),

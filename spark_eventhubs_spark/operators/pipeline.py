@@ -70,9 +70,20 @@ def clean_corpus(
         & (F.col("density_bp") > 0)
     )
 
-    # exact dedup: min doc_id survives per fingerprint (deterministic)
-    survivors = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = gated.join(survivors, ["fp", "doc_id"], "left_semi")
+    # exact dedup: min doc_id survives per fingerprint (deterministic).
+    # The survivor test is doc_id == MIN(doc_id) over the fingerprint
+    # key — a whole-partition/no-sort window over the ONE gated frame.
+    # The old aggregate + left-semi-join form re-ran the tokenize +
+    # quality-gate + md5 production on both join inputs (r13: AQE
+    # stage reuse never deduplicates the differently-pruned subtree
+    # copies); window state is one fingerprint's duplicate group,
+    # bounded by the corpus's exact-dup cluster size.
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("fp")
+    exact = gated.withColumn("min_doc", F.min("doc_id").over(w_fp)).where(
+        F.col("doc_id") == F.col("min_doc")
+    ).drop("min_doc")
 
     # near-dup removal: greedy drop of the greater doc of each verified
     # pair (pairs always have doc_a < doc_b, so min ids survive)

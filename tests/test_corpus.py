@@ -596,12 +596,22 @@ def test_dsir_quantile_keep_mode_matches_rank_up_to_cutoff_ties(spark):
         assert all(quant[d][0] in boundary for d in extras), (
             extras, boundary,
         )
-    # no global window in the quantile plan
+    # no GLOBAL window in the quantile plan: since the r13 rewrite the
+    # bucket models are SUM windows partitioned by the md5-uniform
+    # bucket key (scale-safe); what the quantile path must never have
+    # is an unpartitioned window (the rank path's row_number over the
+    # whole weight table). Assert every window spec opens with the
+    # bucket partition column.
+    import re
+
     plan = (
         C.dsir_weights(docs, keep_mode="quantile")
         ._jdf.queryExecution().optimizedPlan().toString()
     )
-    assert "Window" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, plan  # the bucket-model windows must be present
+    assert all(s.lstrip().startswith("b#") for s in specs), plan
+    assert "row_number()" not in plan, plan
 
 
 def test_exact_substring_spans_hand_computed(spark):

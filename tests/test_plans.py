@@ -294,10 +294,11 @@ def test_bounded_broadcast_hints_only_where_provable(spark):
     assert _hint_count(spark, "q20_excess_shippers") == 1        # 1-row threshold
     assert _hint_count(spark, "q22_wealthy_inactive") == 1       # 1-row AVG scalar
     assert _hint_count(spark, "q11_important_parts") == 1        # 1-row total
-    # DSIR: the 1-row totals frame + the <=4096-row bucket-lambda
-    # table (a CONSTANT independent of corpus size, same policy as
-    # the bloom position set)
-    assert _hint_count(spark, "corpus_dsir_weights") == 2
+    # DSIR: only the 1-row totals frame — the bucket-lambda table
+    # stopped being a join side in r13 (bucket models are now SUM
+    # windows over the one compacted count frame, so the only hinted
+    # broadcast left is the scalar totals aggregate)
+    assert _hint_count(spark, "corpus_dsir_weights") == 1
 
 
 def test_q17_single_scan_window_topology(spark):
