@@ -1620,27 +1620,41 @@ SELECT 'only_1997' AS cohort, COUNT(*) AS n_customers
   FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)""",
 )
 def s1_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: customer retention cohorts via INTERSECT /
-    EXCEPT / UNION ALL. Scale: each set op is a distinct-aggregate
-    shuffle on custkey over already-deduped key sets (no payload
-    columns travel); the three 1-row counts union on the driver."""
+    """Set operations: customer retention cohorts — INTERSECT/EXCEPT
+    over the two year key-sets, computed as ONE per-custkey membership
+    aggregation (in96/in97 flags) instead of materializing each
+    key-set per set operand. The literal set-op form scanned orders
+    6x (each INTERSECT/EXCEPT leg re-planned both year subtrees; AQE
+    stage reuse never deduplicates the differently-pruned copies —
+    the r13 finding), and its joins shuffled the key-sets 4x. Scale:
+    one pushed-date-range scan, one map-side-combined custkey shuffle,
+    one 1-row rollup; the 3-row labeled output is a stack over the
+    scalar counts."""
     o = _table(spark, sf_dir, "orders")
-    def year_keys(lo: str, hi: str) -> DataFrame:
-        return (
-            o.where((F.col("o_orderdate") >= _TS(lo)) & (F.col("o_orderdate") < _TS(hi)))
-            .select("o_custkey")
-            .distinct()
+    lo, mid, hi = (
+        _TS("1996-01-01 00:00:00"),
+        _TS("1997-01-01 00:00:00"),
+        _TS("1998-01-01 00:00:00"),
+    )
+    member = (
+        o.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate") < mid).alias("in96"),
+            F.max(F.col("o_orderdate") >= mid).alias("in97"),
         )
-    y96 = year_keys("1996-01-01 00:00:00", "1997-01-01 00:00:00")
-    y97 = year_keys("1997-01-01 00:00:00", "1998-01-01 00:00:00")
-    def labeled(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(F.count("*").alias("n_customers")).select(
-            F.lit(label).alias("cohort"), "n_customers"
+    )
+    one = F.lit(1).cast("bigint")
+    counts = member.agg(
+        F.coalesce(F.sum(F.when(F.col("in96") & F.col("in97"), one)), F.lit(0).cast("bigint")).alias("both"),
+        F.coalesce(F.sum(F.when(F.col("in96") & ~F.col("in97"), one)), F.lit(0).cast("bigint")).alias("only_1996"),
+        F.coalesce(F.sum(F.when(~F.col("in96") & F.col("in97"), one)), F.lit(0).cast("bigint")).alias("only_1997"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'both', both, 'only_1996', only_1996,"
+            " 'only_1997', only_1997) AS (cohort, n_customers)"
         )
-    return (
-        labeled(y96.intersect(y97), "both")
-        .unionAll(labeled(y96.exceptAll(y97), "only_1996"))
-        .unionAll(labeled(y97.exceptAll(y96), "only_1997"))
     )
 
 
@@ -4639,17 +4653,22 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree bit-for-bit; all interpolation inputs are exact
     integers and the one double expression IEEE-rounds identically).
 
-    Scale: the bucket agg is one shuffle to (user, hour); the grid is
-    a per-user sequence explode (span rows, no cross join with a
-    global calendar); prev/next carries are per-user ordered window
-    scans — Spark executes all four `last/first ignorenulls` frames in
-    a single Window node over one sort, partition-parallel across
-    users. No driver collect, no global sort; skew bounds at the most
-    active user's span (720 rows/month). The catalog entry restricts
-    to the deterministic user_id%10=7 cohort purely to keep the dense
-    output driver-collectable at every sf (the dense grid is ~7x the
-    event count; a real deployment writes it to storage instead) —
-    the filter rides the scan, not the operator."""
+    Scale: the bucket agg is one shuffle to (user, hour); the dense
+    grid is emitted per PRESENT-bucket gap — each present row learns
+    its next present neighbor via ONE lead() window and explodes the
+    half-open [this, next) hour range, interpolating inline. Pre-r13
+    the grid came from a separate min/max aggregate left-joined back
+    onto the buckets, which re-ran the full hub production per join
+    input (AQE stage reuse never deduplicates the differently-pruned
+    subtree copies) and paid a (user, hour) shuffle join plus four
+    carry windows; now the hub scan runs once and the only post-agg
+    exchange is the user_id window sort. No driver collect, no global
+    sort; skew bounds at the most active user's span (720 rows/month).
+    The catalog entry restricts to the deterministic user_id%10=7
+    cohort purely to keep the dense output driver-collectable at
+    every sf (the dense grid is ~7x the event count; a real
+    deployment writes it to storage instead) — the filter rides the
+    scan, not the operator."""
     from pyspark.sql import Window
 
     hub = load_hub_flat(spark, sf_dir)
@@ -4663,47 +4682,41 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "hour_bucket")
         .agg(F.expr("sum(value_cents) div count(*)").cast("long").alias("v"))
     )
-    grid = (
-        b.groupBy("user_id")
-        .agg(F.min("hour_bucket").alias("mn"), F.max("hour_bucket").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hour_bucket"),
-        )
-    )
-    j = grid.join(b, ["user_id", "hour_bucket"], "left")
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    h_if_present = F.when(F.col("v").isNotNull(), F.col("hour_bucket"))
-    filled = j.select(
+    wl = Window.partitionBy("user_id").orderBy("hour_bucket")
+    seg = b.select(
         "user_id",
-        "hour_bucket",
-        "v",
-        F.last("v", ignorenulls=True).over(wp).alias("pv"),
-        F.last(h_if_present, ignorenulls=True).over(wp).alias("ph"),
-        F.first("v", ignorenulls=True).over(wn).alias("nv"),
-        F.first(h_if_present, ignorenulls=True).over(wn).alias("nh"),
+        F.col("hour_bucket").alias("ph"),
+        F.col("v").alias("pv"),
+        F.lead("hour_bucket").over(wl).alias("nh"),
+        F.lead("v").over(wl).alias("nv"),
     )
+    dense = seg.select(
+        "user_id",
+        "ph",
+        "pv",
+        "nh",
+        "nv",
+        F.explode(
+            F.sequence(
+                F.col("ph"), F.coalesce(F.col("nh") - 1, F.col("ph"))
+            )
+        ).alias("hour_bucket"),
+    )
+    # identical IEEE expression shape to the pre-r13 carry form: all
+    # inputs are exact integers, the one double division rounds the
+    # same way, so results are bit-for-bit unchanged
     interp = F.floor(
         F.col("pv")
         + (F.col("nv") - F.col("pv"))
         * (F.col("hour_bucket") - F.col("ph"))
         / (F.col("nh") - F.col("ph"))
     ).cast("long")
-    return filled.select(
+    present = F.col("hour_bucket") == F.col("ph")
+    return dense.select(
         "user_id",
         "hour_bucket",
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .otherwise(interp).cast("long").alias("value_e2"),
-        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("interpolated"),
+        F.when(present, F.col("pv")).otherwise(interp).cast("long").alias("value_e2"),
+        F.when(~present, 1).otherwise(0).cast("int").alias("interpolated"),
     )
 
 
