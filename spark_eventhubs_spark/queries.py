@@ -2661,6 +2661,72 @@ def _hub_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     return _validated_scratch_memo(spark, ("hubstream_dir", sf_dir), _build)
 
 
+def _events_rowcount(spark: SparkSession, sf_dir: str) -> int:
+    """Total event count for drain throttling, read from the parquet
+    FOOTER (num_rows is exact file metadata) instead of running a
+    Spark count() job — the count is a rate-limiter parameter, and
+    pre-r13 every rate-limited twin paid a ~0.3 s scan job for it
+    inside its timed entry (guide §1/§5: keep driver-side jobs out of
+    query paths). Falls back to the Spark count for any layout that
+    is not the single-file testdata shape."""
+    import pyarrow.parquet as _pq
+
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        return int(_pq.ParquetFile(p).metadata.num_rows)
+    except Exception:
+        return _table(spark, sf_dir, "events").count()
+
+
+def _events_ts_bounds_us(spark: SparkSession, sf_dir: str):
+    """(min, max) event time in epoch microseconds, from parquet
+    row-group statistics (exact for timestamp columns) instead of a
+    full-scan min/max aggregate — the value only parameterizes the
+    sessionize watermark delay, but it must EQUAL the scan's answer
+    so the twin's semantics stay bit-identical; timegm arithmetic
+    avoids float rounding. Falls back to the Spark aggregate when the
+    physical type is not timestamp-micros or any statistics are
+    missing (the r1-r2 nanos replicas)."""
+    import calendar as _cal
+    import datetime as _dt
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        f = _pq.ParquetFile(p)
+        if f.schema_arrow.field("ts").type != _pa.timestamp("us"):
+            raise ValueError("not timestamp-micros")
+        md = f.metadata
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != "ts":
+                    continue
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    raise ValueError("missing ts statistics")
+                if not isinstance(s.min, _dt.datetime):
+                    raise ValueError("non-datetime ts statistics")
+                mn = s.min if mn is None or s.min < mn else mn
+                mx = s.max if mx is None or s.max > mx else mx
+        if mn is None:
+            raise ValueError("ts column not found in row groups")
+
+        def _us(d: _dt.datetime) -> int:
+            return _cal.timegm(d.utctimetuple()) * 1_000_000 + d.microsecond
+
+        return _us(mn), _us(mx)
+    except Exception:
+        b = load_hub_flat(spark, sf_dir).agg(
+            F.min("enq_us").alias("lo"), F.max("enq_us").alias("hi")
+        ).first()
+        return b["lo"], b["hi"]
+
+
 def _hub_has_side_ties(spark: SparkSession, sf_dir: str) -> bool:
     """Whether any (user, enq_us) carries BOTH a click and a purchase —
     the one data shape where a micro-batch boundary could split the
@@ -2863,7 +2929,7 @@ def _rate_limited_hub_stream(
     path = path or _hub_stream_dir(spark, sf_dir)
     run = next(_STREAM_RUNS)
     name = f"{tag}_{run}"
-    n_events = _table(spark, sf_dir, "events").count()
+    n_events = _events_rowcount(spark, sf_dir)
     # cap = n/4 + 64: the proportional limiter floors the per-partition
     # share, so a bare n/4+1 cap strands up to one event per partition
     # per trigger and the drain pays a FIFTH near-empty trigger just
@@ -3511,11 +3577,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # watermark delay > corpus event-time span: during the rate-limited
     # drain the watermark is max-seen minus delay, so no partition's
-    # in-corpus backlog can ever fall behind it
-    bounds = load_hub_flat(spark, sf_dir).agg(
-        F.min("enq_us").alias("lo"), F.max("enq_us").alias("hi")
-    ).first()
-    span_h = int((bounds["hi"] - bounds["lo"]) // 3_600_000_000) + 2
+    # in-corpus backlog can ever fall behind it (bounds come from the
+    # parquet footer statistics — exact, no scan job; r13)
+    lo_us, hi_us = _events_ts_bounds_us(spark, sf_dir)
+    span_h = int((hi_us - lo_us) // 3_600_000_000) + 2
     gap_str = f"{_SESSION_GAP_US // 60_000_000} minutes"
     sess = streaming_sessionize(sdf, gap=gap_str, delay=f"{span_h} hours")
 

@@ -821,3 +821,22 @@ def test_streaming_asof_bucketed_equals_per_user_path(spark, hub_dir, tmp_path):
             for r in spark.sql(f"SELECT * FROM asof_eq_{tag}").collect()
         )
     assert outs["bucketed"] == outs["peruser"] and outs["bucketed"]
+
+
+def test_footer_stats_match_scan_answers(spark):
+    """The r13 footer-metadata fast paths must EQUAL the Spark-scan
+    answers they replaced: the twin rate-limiter's event count and the
+    sessionize watermark-span bounds parameterize drain semantics, so
+    any divergence would silently change what the twins compute."""
+    import spark_eventhubs_spark.queries as Q
+    from spark_eventhubs_spark.plans.hubview import load_hub_flat
+
+    n_footer = Q._events_rowcount(spark, SF_DIR)
+    n_scan = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n_footer == n_scan
+
+    lo, hi = Q._events_ts_bounds_us(spark, SF_DIR)
+    b = load_hub_flat(spark, SF_DIR).agg(
+        F.min("enq_us").alias("lo"), F.max("enq_us").alias("hi")
+    ).first()
+    assert (lo, hi) == (b["lo"], b["hi"])
