@@ -173,10 +173,19 @@ def ensure_copurchase_edges(
     )
 
     if n_buckets is None:
-        # metadata-only row count (parquet footer statistics)
-        n_buckets = auto_edge_buckets(
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-        )
+        # metadata-only row count: the parquet footer's num_rows is
+        # exact, so no Spark count() job runs on the steady-state
+        # (already-materialized) path (r13; Spark fallback for
+        # multi-file layouts)
+        try:
+            import pyarrow.parquet as _pq
+
+            n_rows = int(
+                _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+            )
+        except Exception:
+            n_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        n_buckets = auto_edge_buckets(n_rows)
     abspath = os.path.abspath(os.path.normpath(sf_dir))
     fp = hashlib.md5(abspath.encode()).hexdigest()[:8]
     base = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(abspath))

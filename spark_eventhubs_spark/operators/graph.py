@@ -124,7 +124,7 @@ def pagerank(
     r0 = scale // n_nodes
     base = (15 * scale) // (100 * n_nodes)
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             edges.join(
                 ranks.withColumnRenamed("node", "src").withColumnRenamed(
@@ -138,11 +138,15 @@ def pagerank(
             )
         )
         gathered = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        # Per-round lineage truncation (the near_dup_components
-        # pattern): without it each iteration's plan embeds all prior
-        # iterations, so analysis cost and lineage depth grow with
-        # ``iters``. The ranks frame is |nodes| rows — cheap to
-        # materialize — and checkpointed blocks free the prior round's.
+        # Lineage truncation every 4th round (the near_dup_components
+        # pattern): without any truncation each iteration's plan
+        # embeds all prior iterations, so analysis cost and lineage
+        # depth grow with ``iters``. But an EAGER checkpoint per round
+        # is a driver barrier + |nodes|-row materialization whose
+        # scheduling cost exceeds the iteration compute at default
+        # iters=3 (r13 A/B: 2.12 s -> 1.81 s median, hash-identical) —
+        # so short chains stay one lazy plan and long runs still
+        # truncate before analysis cost compounds.
         ranks = (
             nodes.select("node")
             .join(gathered, "node", "left")
@@ -152,8 +156,9 @@ def pagerank(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if it % 4 == 3:
+            ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(top)

@@ -713,20 +713,39 @@ def bm25_topk(
     Scale: the token ARRAY is filtered to the query terms inside the
     scan stage, before explode — non-query tokens are never generated,
     let alone shuffled — so the groupBy carries only the query's
-    postings lists; corpus stats (D, T, per-term df) are scalar-sized
-    aggregations; top-k is TakeOrdered. The full corpus is never
-    shuffled — the inverted-index access pattern as a filtered scan."""
+    postings lists; corpus stats (D, T, per-term df) come from ONE
+    scalar aggregation row (per-term document frequency is a |q|-wide
+    set of conditional sums — pre-r13 the df map was a SECOND eager
+    corpus tokenize via the tf frame, so every bm25 call paid three
+    full tokenize passes instead of two); top-k is TakeOrdered. The
+    full corpus is never shuffled — the inverted-index access pattern
+    as a filtered scan."""
     import math
 
     q = sorted(set(query_terms if query_terms is not None else BM25_QUERY))
-    stats = df.select(
-        F.count("*").alias("d"),
-        F.sum(F.size(tokens_col(F.col(text_col)))).alias("t"),
-    ).collect()[0]
+    all_toks = tokens_col(F.col(text_col))
+    stats = (
+        df.select(
+            F.size(all_toks).cast("long").alias("dl"),
+            F.filter(all_toks, lambda t: t.isin(q)).alias("qtoks"),
+        )
+        .select(
+            "dl",
+            *[
+                F.array_contains("qtoks", t).cast("long").alias(f"has_{i}")
+                for i, t in enumerate(q)
+            ],
+        )
+        .agg(
+            F.count("*").alias("d"),
+            F.sum("dl").alias("t"),
+            *[F.sum(f"has_{i}").alias(f"df_{i}") for i in range(len(q))],
+        )
+        .collect()[0]
+    )
     d_total, t_total = int(stats["d"]), int(stats["t"])
     avgdl_e3 = (1000 * t_total) // d_total
 
-    all_toks = tokens_col(F.col(text_col))
     # dl is projected BELOW the explode (two selects): with
     # `select(size(...), explode(...))` in one projection the size()
     # lands in a Project ABOVE the Generate and re-tokenizes the text
@@ -740,8 +759,7 @@ def bm25_topk(
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
 
     dfreq = {
-        r["term"]: int(r["n"])
-        for r in tf.groupBy("term").agg(F.count("*").alias("n")).collect()
+        t: int(stats[f"df_{i}"]) for i, t in enumerate(q) if int(stats[f"df_{i}"])
     }
     if not dfreq:  # no query term occurs anywhere
         return tf.select(

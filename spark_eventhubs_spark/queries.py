@@ -1465,10 +1465,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     table under different aliases; lateness = shipped > 90 days after
     order date, standing in for the absent receipt/commit dates).
     Instead of two correlated re-scans, the per-order supplier and
-    late-supplier cardinalities are computed in ONE aggregate pass and
-    joined back — same result, one lineitem shuffle on orderkey fewer.
-    Scale: per-order stats are |orders|-sized; join back to late lines
-    stays on the orderkey partitioning (AQE reuses the exchange)."""
+    late-supplier cardinalities are collect_set-size windows over the
+    orderkey partitioning of the ONE joined lineitem-orders frame —
+    pre-r13 they were a separate aggregate joined back, which re-ran
+    the lineitem-orders join per consumer (runtime plans: 2 lineitem
+    + 2 orders scans, zero reused stages — AQE stage reuse never
+    deduplicates the differently-pruned subtree copies). Scale: one
+    orderkey shuffle; window state is one order's line set, bounded
+    by the order's supplier count (~7)."""
+    from pyspark.sql import Window
+
     s = _table(spark, sf_dir, "supplier")
     o = _table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = _table(spark, sf_dir, "lineitem")
@@ -1476,18 +1482,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
         "l_orderkey", "l_suppkey", late_flag.alias("is_late")
     )
-    stats = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    )
+    w_ok = Window.partitionBy("l_orderkey")
     sole_late = (
-        lo.where(F.col("is_late"))
-        .join(
-            stats.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)).select(
-                F.col("l_orderkey").alias("st_orderkey")
-            ),
-            F.col("l_orderkey") == F.col("st_orderkey"),
-            "inner",
+        lo.select(
+            "l_orderkey",
+            "l_suppkey",
+            "is_late",
+            F.size(F.collect_set("l_suppkey").over(w_ok)).alias("n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w_ok)
+            ).alias("n_late_supp"),
+        )
+        .where(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
     )
     return (
@@ -2234,9 +2243,10 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a per-row sign test. Weights
     are exact integer sums of once-quantized per-bucket
     log-likelihood ratios, so the whole selection is engine- and
-    order-exact. Scale: the bucket models aggregate to a CONSTANT
-    4096 rows (the one provably size-safe broadcast here); scoring is
-    one broadcast join + one doc_id shuffle
+    order-exact. Scale: the bucket models are SUM windows over the
+    md5-uniform bucket key of the one compacted count frame (r13 —
+    the tokenize + md5 production runs exactly once); global totals
+    are a 1-row broadcast; scoring ends in one doc_id shuffle
     (operators/corpus.py:dsir_weights)."""
     return C.dsir_weights(_table(spark, sf_dir, "documents"))
 
@@ -4028,26 +4038,38 @@ def search_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-trivial regardless of corpus size."""
     emb = _table(spark, sf_dir, "embeddings")
     brute = S.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
-    legs = []
-    for method, df in (
-        ("lsh", S.lsh_ann_topk(emb, query_vec_id=0, k=10)),
-        ("ivf", S.ivf_ann_topk(emb, query_vec_id=0, k=10)),
-    ):
-        hits = brute.join(df.select("vec_id"), "vec_id").agg(
-            F.count(F.lit(1)).alias("n_hits")
+    # ONE consumer of the brute-force ground truth: tag-union the two
+    # ANN lists and count hits per method in a single join + groupBy.
+    # The pre-r13 per-method loop joined the brute subtree twice, and
+    # the full pyeval scoring scan behind it executed once per leg
+    # (AQE stage reuse never deduplicates the differently-pruned
+    # copies — the r13 finding). The literal (method, k) frame keeps
+    # the n_hits=0 row a groupBy would drop.
+    ann = S.lsh_ann_topk(emb, query_vec_id=0, k=10).select(
+        F.lit("lsh").alias("method"), "vec_id"
+    ).unionAll(
+        S.ivf_ann_topk(emb, query_vec_id=0, k=10).select(
+            F.lit("ivf").alias("method"), "vec_id"
         )
-        legs.append(
-            hits.select(
-                F.lit(method).alias("method"),
-                F.lit(10).alias("k"),
-                "n_hits",
-            )
+    )
+    hits = ann.join(brute, "vec_id").groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_hits_raw")
+    )
+    methods = spark.createDataFrame(
+        [("lsh", 10), ("ivf", 10)], "method string, k int"
+    )
+    return (
+        methods.join(hits, "method", "left")
+        .select(
+            "method",
+            "k",
+            F.coalesce(F.col("n_hits_raw"), F.lit(0).cast("long")).alias("n_hits"),
         )
-    out = legs[0].unionAll(legs[1])
-    return out.select(
-        "method", "k", "n_hits",
-        F.floor(F.lit(10000) * F.col("n_hits") / F.col("k"))
-        .cast("long").alias("recall_bp"),
+        .select(
+            "method", "k", "n_hits",
+            F.floor(F.lit(10000) * F.col("n_hits") / F.col("k"))
+            .cast("long").alias("recall_bp"),
+        )
     )
 
 
