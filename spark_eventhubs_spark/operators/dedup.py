@@ -1333,24 +1333,37 @@ def exact_substring_spans_incremental(
     its gram's store count plus its own-batch count reaches 2 — the
     corpus text is never rescanned; only the (h, n_occ) store is.
     ``store_df`` is (h, n_occ), possibly multi-generation (appended
-    per ingested batch) — it is re-aggregated here. Scale: the store
-    probe is one co-partitioned join on the uniform 60-bit hash; the
-    batch side is one stride-1 explode of the NEW data only."""
+    per ingested batch). Scale (r13): the store is SEMI-PRUNED to the
+    batch's gram hashes BEFORE its re-aggregation — pre-r13 every
+    trigger re-aggregated the full corpus-sized store (one
+    corpus-gram shuffle per micro-batch); now only rows whose hash
+    occurs in the batch shuffle, and with AQE the batch hash set
+    rides a size-checked broadcast so the store probe is a map-side
+    scan (guide §3 pre-filter-the-big-side). The own-batch count is a
+    count window over the gram hash of the ONE batch gram frame
+    (pre-r13 an aggregate-and-rejoin that re-ran the batch explode
+    per consumer); the batch side is one stride-1 explode of the NEW
+    data only."""
+    from pyspark.sql import Window
+
     L = min_len
     toks = tokens_col(F.col(text_col))
     n_g = F.size(toks) - F.lit(L) + 1
     grams = substring_grams(batch_df, L, text_col)
-    own = grams.groupBy("h").agg(F.count("*").alias("n_own"))
-    stored = store_df.groupBy("h").agg(F.sum("n_occ").alias("n_store"))
-    total = own.join(stored, "h", "left").select(
-        "h",
-        (F.col("n_own") + F.coalesce(F.col("n_store"), F.lit(0))).alias(
-            "n_tot"
-        ),
+    stored = (
+        store_df.join(grams.select("h").distinct(), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.sum("n_occ").alias("n_store"))
     )
+    w_h = Window.partitionBy("h")
     covered = (
-        grams.join(total, "h")
-        .where(F.col("n_tot") >= 2)
+        grams.select(
+            "doc_id", "i", "h", F.count("*").over(w_h).alias("n_own")
+        )
+        .join(stored, "h", "left")
+        .where(
+            F.col("n_own") + F.coalesce(F.col("n_store"), F.lit(0)) >= 2
+        )
         .select("doc_id", "i", (F.col("i") + F.lit(L)).alias("e"))
     )
     base = batch_df.select(
