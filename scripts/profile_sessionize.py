@@ -86,7 +86,7 @@ def main() -> None:
             q.processAllAvailable()
             marks["backlog_drain_s"] = round(time.time() - t0, 3)
             t0 = time.time()
-            sent = spark.createDataFrame([("sentinel",)], "body string").select(
+            sent = spark.createDataFrame([("sentinel",)], "body string").coalesce(1).select(
                 "body",
                 F.create_map(
                     F.lit("user_id"), F.lit("zz_sentinel"),

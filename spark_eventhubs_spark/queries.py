@@ -2086,34 +2086,44 @@ HAVING COUNT(*) >= 3""",
 def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document overlap pairs from winnowing fingerprints (the
     plagiarism-detector join): docs sharing >= 3 selected fingerprints.
-    Scale: equi-join on the fingerprint hash — the fingerprint frame is
-    materialized once (localCheckpoint) so the self-join does not
-    re-run the winnowing scan. Skew guard: fingerprints shared by > 64
-    docs (boilerplate phrases) are dropped BEFORE the self-join — a
-    ubiquitous fp contributes O(posting^2) candidate pairs and no dedup
-    signal; the cap bounds every join bucket at 64 x 64. Same filter in
-    the oracle, so results stay hash-checked."""
-    fps = cache_dataframe(
-        spark,
-        ("winnow_fps", sf_dir),
-        lambda: T.winnowing_fingerprints(
-            D._spread(_table(spark, sf_dir, "documents"))
-        ).localCheckpoint(eager=True),
+    Scale (r13 posting-list shape): ONE exchange on the fingerprint
+    hash serves the whole candidate generation — a count window over
+    fp, the > 64-doc boilerplate drop, and the same-key collect_list
+    all share that partitioning (guide §2.4: operations keyed alike
+    share one exchange), then ordered pairs are produced INSIDE each
+    posting list (array transform, no self-join) and re-aggregated on
+    the pair key. The pre-r13 shape consumed a localCheckpointed
+    fingerprint frame three times (hot-list aggregate, anti-join,
+    fp-keyed self-join) across 4 exchanges. Skew guard unchanged:
+    fps held by > 64 docs are dropped BEFORE pair generation (a
+    ubiquitous fp contributes O(posting^2) pairs and no dedup
+    signal), which also bounds every collect_list buffer at 64 —
+    the window filter runs before the list is built. Same filter in
+    the oracle, so results stay hash-checked; (doc_id, fp) is
+    emitted distinct per doc by the kernel, so posting lists hold
+    unique doc_ids and sorted i < j enumeration is exactly
+    doc_a < doc_b."""
+    from pyspark.sql import Window
+
+    fps = T.winnowing_fingerprints(D._spread(_table(spark, sf_dir, "documents")))
+    posting = (
+        fps.select("doc_id", "fp", F.count("*").over(Window.partitionBy("fp")).alias("n_docs"))
+        .where(F.col("n_docs") <= 64)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     )
-    # the HOT list (fps over the cap) grows with the corpus, so no
-    # forced broadcast — the anti join shuffles on the uniform fp key
-    # and AQE still broadcasts while the hot set is genuinely small
-    hot = (
-        fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") > 64)
-        .select("fp")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
-    pruned = fps.join(hot, "fp", "left_anti")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posting.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= 3)
     )
@@ -3622,7 +3632,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def _drain():
             q.processAllAvailable()  # real backlog, fully ordered
-            sent = spark.createDataFrame([("sentinel",)], "body string").select(
+            # coalesce(1): a local 1-row frame otherwise fans out to
+            # defaultParallelism write tasks (32 here), each spinning
+            # up a Python DataSource writer worker for an empty
+            # iterator — measured 49 s cold / 6 s warm for ONE event
+            # vs ~1.5 s single-task (guide §5: the driver/task count,
+            # not the data, was the cost). Commit semantics unchanged:
+            # empty staged files contribute no rows either way.
+            sent = spark.createDataFrame([("sentinel",)], "body string").coalesce(1).select(
                 "body",
                 F.create_map(
                     F.lit("user_id"), F.lit("zz_sentinel"),
