@@ -228,19 +228,49 @@ def kmeans_centroids(
     Centroids after an update are un-normalized integer sum vectors
     (see module docstring); a cell that goes empty keeps its previous
     centroid — mirrored by the oracle's COALESCE. Each iteration is
-    ONE job whose result is <= k * n_partitions tiny partial rows."""
-    cents = kmeans_seeds(df, k, id_col, vec_col)
-    base = df.select(F.col(vec_col))
-    if iters > 1:
-        base = base.persist()
-    try:
-        for _ in range(iters):
-            rows = kmeans_partials(base, cents, vec_col, q_scale).collect()
-            cents = centroids_from_acc(cents, merge_partial_rows({}, rows))
-    finally:
+    ONE job whose result is <= k * n_partitions tiny partial rows.
+
+    The trained codebook is a session-scoped INGEST ARTIFACT (r13):
+    a pure deterministic function of (corpus, k, iters, quantization)
+    — the same contract as the memoized MinHash banded frame and the
+    PQ codebooks — so it is memoized via ``cache_dataframe`` under a
+    non-"query" prefix (bench counts the build). Three catalog
+    entries train identical codebooks (``embed_kmeans_assign``'s
+    k=8 model; ``embed_semdedup`` and ``corpus_curation_decisions``
+    share the auto-k model), each previously re-running seeds +
+    ``iters`` full Lloyd passes per invocation. Keyed like
+    ``dedup._count_cached``: analyzed-plan fingerprint + input-file
+    fingerprint + every training parameter, so a different corpus,
+    file set, or knob retrains."""
+    import hashlib as _hl
+
+    from spark_eventhubs_spark.plans.hubview import cache_dataframe
+
+    plan_fp = _hl.md5(
+        df._jdf.queryExecution().analyzed().toString().encode()
+    ).hexdigest()
+    files_fp = _hl.md5("\x00".join(sorted(df.inputFiles())).encode()).hexdigest()
+
+    def _train() -> list:
+        cents = kmeans_seeds(df, k, id_col, vec_col)
+        base = df.select(F.col(vec_col))
         if iters > 1:
-            base.unpersist()
-    return cents
+            base = base.persist()
+        try:
+            for _ in range(iters):
+                rows = kmeans_partials(base, cents, vec_col, q_scale).collect()
+                cents_i = centroids_from_acc(cents, merge_partial_rows({}, rows))
+                cents = cents_i
+        finally:
+            if iters > 1:
+                base.unpersist()
+        return cents
+
+    return cache_dataframe(
+        df.sparkSession,
+        ("kmeans_cents", plan_fp, files_fp, k, iters, id_col, vec_col, q_scale),
+        _train,
+    )
 
 
 def kmeans_assign(

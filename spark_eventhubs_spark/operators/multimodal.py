@@ -266,12 +266,9 @@ def decode_wav(payload: bytes):
     return nch, rate, nf, samples
 
 
-def audio_features(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real audio feature extraction over mapInPandas: decode each WAV
-    payload and emit channel count, rate, frames, duration, and the RMS
-    energy of the samples as an e6-scaled integer. Same Arrow-batched,
-    partition-preserving, byte-bounded shape as the stubbed decoders —
-    but the sample math is real."""
+def _audio_features_fn(media_col: str = "media"):
+    """Kernel builder for :func:`audio_features` (see
+    :func:`_image_stats_fn` for why these are module-level)."""
     import math
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -292,7 +289,16 @@ def audio_features(df: DataFrame, media_col: str = "media") -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(_features, AUDIO_FEATURES_SCHEMA)
+    return _features
+
+
+def audio_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Real audio feature extraction over mapInPandas: decode each WAV
+    payload and emit channel count, rate, frames, duration, and the RMS
+    energy of the samples as an e6-scaled integer. Same Arrow-batched,
+    partition-preserving, byte-bounded shape as the stubbed decoders —
+    but the sample math is real."""
+    return df.mapInPandas(_audio_features_fn(media_col), AUDIO_FEATURES_SCHEMA)
 
 
 def decode_netpbm(payload: bytes):
@@ -330,11 +336,10 @@ def decode_netpbm(payload: bytes):
     return img.reshape(h, w, ch)
 
 
-def image_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real image statistics over mapInPandas: decode each payload
-    (netpbm or BMP, sniffed per row) and emit dimensions plus integer pixel stats (mean scaled
-    e2 via exact integer math — sum*100 // count — so results are
-    engine- and batch-order-independent)."""
+def _image_stats_fn(media_col: str = "media"):
+    """Kernel builder for :func:`image_stats` — module-level so fused
+    encode>>decode chains (r13) can compose it generator-to-generator
+    with a ``_*_make_fn`` inside ONE Python worker pass."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in IMAGE_STATS_SCHEMA.fields]
@@ -351,7 +356,15 @@ def image_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(_stats, IMAGE_STATS_SCHEMA)
+    return _stats
+
+
+def image_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Real image statistics over mapInPandas: decode each payload
+    (netpbm or BMP, sniffed per row) and emit dimensions plus integer pixel stats (mean scaled
+    e2 via exact integer math — sum*100 // count — so results are
+    engine- and batch-order-independent)."""
+    return df.mapInPandas(_image_stats_fn(media_col), IMAGE_STATS_SCHEMA)
 
 
 def resize_netpbm(payload: bytes, factor: int = 2) -> bytes:
@@ -854,12 +867,9 @@ def decode_video(payload: bytes) -> dict:
     )
 
 
-def video_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Video statistics over mapInPandas — same Arrow-batched,
-    partition-preserving shape as :func:`image_stats`. Decodes each
-    payload via :func:`decode_video`; in containers without PyAV the
-    first row raises the loud NotImplementedError (pinned in tests)
-    rather than fabricating stats."""
+def _video_stats_fn(media_col: str = "media"):
+    """Kernel builder for :func:`video_stats` (see
+    :func:`_image_stats_fn` for why these are module-level)."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in VIDEO_STATS_SCHEMA.fields]
@@ -870,22 +880,27 @@ def video_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
                 rows.append((int(did),) + tuple(meta[c] for c in cols[1:]))
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(_stats, VIDEO_STATS_SCHEMA)
+    return _stats
 
 
-def as_bmp_column(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Manufacture a REAL 24-bit BMP payload per document (the
-    container has no image corpora): dimensions and the three constant
-    channel values derive from the utf-8 byte length n —
-    w=(n%31)+1, h=(n//31%17)+1, (r,g,b)=((13n)%251,(7n)%251,n%251).
-    Every container feature is exercised (row padding, bottom-up
-    order, BGR storage) while the decoded statistics stay a closed-
-    form function of n that the SQL oracle reproduces exactly."""
+def video_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Video statistics over mapInPandas — same Arrow-batched,
+    partition-preserving shape as :func:`image_stats`. Decodes each
+    payload via :func:`decode_video`; in containers without PyAV the
+    first row raises the loud NotImplementedError (pinned in tests)
+    rather than fabricating stats."""
+    return df.mapInPandas(_video_stats_fn(media_col), VIDEO_STATS_SCHEMA)
+
+
+_MEDIA_OUT_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+)
+
+
+def _bmp_make_fn(text_col: str = "text"):
+    """Kernel builder for :func:`as_bmp_column` (see
+    :func:`_image_stats_fn` for why these are module-level)."""
     import numpy as np
-
-    out_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-    )
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -902,7 +917,34 @@ def as_bmp_column(df: DataFrame, text_col: str = "text") -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "media": payloads}
             )
 
-    return df.select("doc_id", text_col).mapInPandas(_make, out_schema)
+    return _make
+
+
+def as_bmp_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a REAL 24-bit BMP payload per document (the
+    container has no image corpora): dimensions and the three constant
+    channel values derive from the utf-8 byte length n —
+    w=(n%31)+1, h=(n//31%17)+1, (r,g,b)=((13n)%251,(7n)%251,n%251).
+    Every container feature is exercised (row padding, bottom-up
+    order, BGR storage) while the decoded statistics stay a closed-
+    form function of n that the SQL oracle reproduces exactly."""
+    return df.select("doc_id", text_col).mapInPandas(
+        _bmp_make_fn(text_col), _MEDIA_OUT_SCHEMA
+    )
+
+
+def bmp_image_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused as_bmp_column >> image_stats (r13): the two kernels
+    compose generator-to-generator inside ONE mapInPandas, so the
+    manufactured media bytes never cross the Python/JVM boundary —
+    pre-r13 the chained stages shipped every payload Python -> JVM ->
+    Python between encode and decode (guide §4.1: control what
+    crosses). Identical row-level math; both component operators stay
+    public and separately tested."""
+    make, stats = _bmp_make_fn(text_col), _image_stats_fn("media")
+    return df.select("doc_id", text_col).mapInPandas(
+        lambda it: stats(make(it)), IMAGE_STATS_SCHEMA
+    )
 
 
 def oracle_bmp_stats() -> str:
@@ -923,25 +965,13 @@ SELECT doc_id,
 FROM m"""
 
 
-def as_wav_column(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Manufacture a REAL 16-bit PCM WAV payload per document (the
-    container has no audio corpora): a mono 8 kHz square wave whose
-    amplitude and length derive from the utf-8 byte length n —
-    A=((n%97)+1)*256, n_frames=(n%50)+10, samples alternating +A/-A.
-    The RIFF container is written by the stdlib ``wave`` module and
-    parsed back by :func:`decode_wav`, so header handling is genuine,
-    while RMS(square wave) = A keeps every decoded feature a closed-
-    form function of n that the SQL oracle reproduces exactly (all
-    intermediate float values are exact: nf*A^2 <= 3.7e10 << 2^53 and
-    sqrt of an exact square is exact under IEEE rounding)."""
+def _wav_make_fn(text_col: str = "text"):
+    """Kernel builder for :func:`as_wav_column` (see
+    :func:`_image_stats_fn` for why these are module-level)."""
     import io
     import wave
 
     import numpy as np
-
-    out_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-    )
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -964,26 +994,39 @@ def as_wav_column(df: DataFrame, text_col: str = "text") -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "media": payloads}
             )
 
-    return df.select("doc_id", text_col).mapInPandas(_make, out_schema)
+    return _make
 
 
-def as_avi_column(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Manufacture a REAL uncompressed-AVI payload per document (the
-    container has no video corpora) — the video leg of the
-    as_bmp_column / as_wav_column triad. Dimensions, frame count and
-    the per-frame constant RGB derive from the utf-8 byte length n:
-    w=(n%19)+1, h=((n//19)%13)+1, F=(n%7)+2 frames at 10 fps, frame f
-    painted (r,g,b)=((13n+11f)%251, (7n+5f)%251, (n+3f)%251). Every
-    container feature is exercised for real (RIFF tree, stream
-    headers, per-frame DIB rasters with row padding, bottom-up BGR),
-    while the decoded statistics stay a closed-form function of n
-    that the SQL oracle reproduces exactly — the frame-varying colors
-    make the multi-frame luma accumulation actually bite."""
-    import numpy as np
-
-    out_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+def as_wav_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a REAL 16-bit PCM WAV payload per document (the
+    container has no audio corpora): a mono 8 kHz square wave whose
+    amplitude and length derive from the utf-8 byte length n —
+    A=((n%97)+1)*256, n_frames=(n%50)+10, samples alternating +A/-A.
+    The RIFF container is written by the stdlib ``wave`` module and
+    parsed back by :func:`decode_wav`, so header handling is genuine,
+    while RMS(square wave) = A keeps every decoded feature a closed-
+    form function of n that the SQL oracle reproduces exactly (all
+    intermediate float values are exact: nf*A^2 <= 3.7e10 << 2^53 and
+    sqrt of an exact square is exact under IEEE rounding)."""
+    return df.select("doc_id", text_col).mapInPandas(
+        _wav_make_fn(text_col), _MEDIA_OUT_SCHEMA
     )
+
+
+def wav_audio_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused as_wav_column >> audio_features (r13): one mapInPandas,
+    WAV bytes never cross the Python/JVM boundary (see
+    :func:`bmp_image_stats`)."""
+    make, feats = _wav_make_fn(text_col), _audio_features_fn("media")
+    return df.select("doc_id", text_col).mapInPandas(
+        lambda it: feats(make(it)), AUDIO_FEATURES_SCHEMA
+    )
+
+
+def _avi_make_fn(text_col: str = "text"):
+    """Kernel builder for :func:`as_avi_column` (see
+    :func:`_image_stats_fn` for why these are module-level)."""
+    import numpy as np
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1003,7 +1046,34 @@ def as_avi_column(df: DataFrame, text_col: str = "text") -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "media": payloads}
             )
 
-    return df.select("doc_id", text_col).mapInPandas(_make, out_schema)
+    return _make
+
+
+def as_avi_column(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a REAL uncompressed-AVI payload per document (the
+    container has no video corpora) — the video leg of the
+    as_bmp_column / as_wav_column triad. Dimensions, frame count and
+    the per-frame constant RGB derive from the utf-8 byte length n:
+    w=(n%19)+1, h=((n//19)%13)+1, F=(n%7)+2 frames at 10 fps, frame f
+    painted (r,g,b)=((13n+11f)%251, (7n+5f)%251, (n+3f)%251). Every
+    container feature is exercised for real (RIFF tree, stream
+    headers, per-frame DIB rasters with row padding, bottom-up BGR),
+    while the decoded statistics stay a closed-form function of n
+    that the SQL oracle reproduces exactly — the frame-varying colors
+    make the multi-frame luma accumulation actually bite."""
+    return df.select("doc_id", text_col).mapInPandas(
+        _avi_make_fn(text_col), _MEDIA_OUT_SCHEMA
+    )
+
+
+def avi_video_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused as_avi_column >> video_stats (r13): one mapInPandas, AVI
+    bytes never cross the Python/JVM boundary (see
+    :func:`bmp_image_stats`)."""
+    make, stats = _avi_make_fn(text_col), _video_stats_fn("media")
+    return df.select("doc_id", text_col).mapInPandas(
+        lambda it: stats(make(it)), VIDEO_STATS_SCHEMA
+    )
 
 
 def oracle_avi_stats() -> str:

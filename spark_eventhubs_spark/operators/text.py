@@ -409,7 +409,9 @@ def tfidf_top_terms(df: DataFrame, top_n: int = 3, text_col: str = "text") -> Da
     )
 
 
-def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple = ()
+) -> DataFrame:
     """Per-document bigram language-model score — the CCNet-style LM
     quality gate: documents whose token transitions are improbable
     under the corpus's own bigram MLE get high negative-log-likelihood
@@ -437,7 +439,13 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     key's occurrence group — the same rows the join build side held),
     one per-doc aggregate, zero joins. Docs with <2 tokens drop out
     (explode of an empty array), matching the oracle's len >= 2
-    filter."""
+    filter.
+
+    ``carry_cols`` (r13): doc-level columns to ride through the
+    production and the per-doc aggregate (as extra group keys —
+    functionally dependent on doc_id, so the grouping is unchanged).
+    Lets a consumer that needs e.g. ``lang`` alongside the score skip
+    a whole documents re-scan + join-back (guide §2.4)."""
     from pyspark.sql import Window
 
     toks = tokens_col(F.col(text_col))
@@ -450,9 +458,9 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.slice(toks, 2, n_pairs),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = df.select("doc_id", F.explode(bigrams).alias("bigram")).withColumn(
-        "w1", F.split(F.col("bigram"), " ")[0]
-    )
+    bg = df.select(
+        "doc_id", *carry_cols, F.explode(bigrams).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ")[0])
     w_bg = Window.partitionBy("bigram")
     w_w1 = Window.partitionBy("w1")
     occ_e3 = F.floor(
@@ -463,11 +471,12 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     ).cast("long")
     return (
-        bg.select("doc_id", occ_e3.alias("occ_e3"))
-        .groupBy("doc_id")
+        bg.select("doc_id", *carry_cols, occ_e3.alias("occ_e3"))
+        .groupBy("doc_id", *carry_cols)
         .agg(F.count("*").alias("n_bigrams"), F.sum("occ_e3").alias("sum_e3"))
         .select(
             "doc_id",
+            *carry_cols,
             "n_bigrams",
             F.expr("sum_e3 DIV n_bigrams").alias("nll_e3"),
         )
@@ -1210,11 +1219,12 @@ def doc_perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from pyspark.sql import Window
 
-    lm = bigram_lm_scores(df, text_col)
+    # lang rides the LM production as a carried group key (r13) — the
+    # pre-r13 shape re-scanned documents and joined it back on doc_id
+    lm = bigram_lm_scores(df, text_col, carry_cols=("lang",))
     w = Window.partitionBy("lang").orderBy(F.asc("nll_e3"), F.asc("doc_id"))
     scored = (
-        lm.join(df.select("doc_id", "lang"), "doc_id")
-        .select(
+        lm.select(
             "doc_id",
             "lang",
             F.floor(

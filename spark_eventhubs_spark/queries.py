@@ -2617,10 +2617,12 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BGR storage) and then decoded back by the header-parsing numpy
     decoder — no codec library involved. The raster is a closed-form
     function of the text byte length, so the decoded statistics are
-    SQL-reproducible and hash-checked. Scale: two chained mapInPandas
-    stages, partition-preserving, zero shuffle."""
+    SQL-reproducible and hash-checked. Scale (r13): one fused
+    mapInPandas (multimodal.bmp_image_stats) — the BMP bytes never
+    cross the Python/JVM boundary (guide §4.1); partition-preserving,
+    zero shuffle."""
     docs = _table(spark, sf_dir, "documents")
-    return M.image_stats(M.as_bmp_column(docs))
+    return M.bmp_image_stats(docs)
 
 
 # =====================================================================
@@ -4479,11 +4481,12 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave whose amplitude/length derive from the text byte length, and
     the stdlib-parsing decoder runs true sample math (sequential RMS
     fold) back out of it. RMS(square wave) = amplitude keeps the
-    features SQL-reproducible and hash-checked. Scale: two chained
-    mapInPandas stages, partition-preserving, zero shuffle — the same
-    Arrow batch shape a real audio corpus would flow through."""
+    features SQL-reproducible and hash-checked. Scale (r13): one
+    fused mapInPandas (multimodal.wav_audio_features) — the WAV bytes
+    never cross the Python/JVM boundary (guide §4.1); partition-
+    preserving, zero shuffle."""
     docs = _table(spark, sf_dir, "documents")
-    return M.audio_features(M.as_wav_column(docs))
+    return M.wav_audio_features(docs)
 
 
 @register("multimodal_avi_stats", M.oracle_avi_stats())
@@ -4496,12 +4499,15 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded back by walking the RIFF tree and running true per-frame
     pixel math (exact integer BT.601 luma over every frame). The
     frame-varying colors keep the multi-frame accumulation honest and
-    the stats a closed form the SQL oracle reproduces. Scale: two
-    chained mapInPandas stages, partition-preserving, zero shuffle —
-    the same Arrow batch shape a real video corpus flows through;
-    compressed codecs dispatch to the guarded PyAV path."""
+    the stats a closed form the SQL oracle reproduces. Scale (r13):
+    encode and decode compose in ONE fused mapInPandas
+    (multimodal.avi_video_stats), so the AVI payload never crosses
+    the Python/JVM boundary — the pre-r13 chain shipped every
+    container Python -> JVM -> Python between the stages (guide §4.1);
+    partition-preserving, zero shuffle; compressed codecs dispatch to
+    the guarded PyAV path."""
     docs = _table(spark, sf_dir, "documents")
-    return M.video_stats(M.as_avi_column(docs))
+    return M.avi_video_stats(docs)
 
 
 @register("dedup_incremental_ingest", D.oracle_incremental_dedup())
