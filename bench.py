@@ -114,16 +114,28 @@ def main() -> None:
     for i in range(5_000_000):
         acc += i
     py_canary_s = round(time.time() - t0, 3)
-    try:
-        import numpy as _np
 
-        a = _np.ones((1024, 1024))
-        t0 = time.time()
-        for _ in range(8):
-            a = a @ a * 1e-3
-        np_canary_s = round(time.time() - t0, 3)
-    except Exception:
-        np_canary_s = -1.0
+    def _np_canary() -> float:
+        try:
+            import numpy as _np
+
+            a = _np.ones((1024, 1024))
+            t0 = time.time()
+            for _ in range(8):
+                a = a @ a * 1e-3
+            return round(time.time() - t0, 3)
+        except Exception:
+            return -1.0
+
+    np_canary_s = _np_canary()
+    # r13: the same fixed matmul re-timed at EVERY session-recycle
+    # boundary. Measured motivation: on this host the identical
+    # single-thread workload varies >10x within minutes (hypervisor
+    # time-slicing), which is exactly the "multi-second stalls that
+    # move between cells across runs" the r13 pre-record documents —
+    # a per-segment canary makes a slow segment attributable from the
+    # record alone instead of via a hand re-run.
+    segment_np_canary: list[float] = [np_canary_s]
 
     from pyspark.sql import SparkSession
 
@@ -200,6 +212,7 @@ def main() -> None:
                 pass
             spark = _make_session()
             n_recycles += 1
+            segment_np_canary.append(_np_canary())
             # The first cells of a fresh context read high even with
             # the run-0 warmup (r10: ts_ewma_hourly 0.31->0.60 s), so
             # (a) the segment warmup runs THREE times to push codegen/
@@ -443,6 +456,11 @@ def main() -> None:
         # axis for judging cross-round absolute-throughput deltas
         "py_canary_s": py_canary_s,
         "np_canary_s": np_canary_s,
+        # index i = host-speed canary measured when recycle segment i
+        # opened (segment 0 = the pre-Spark stamp above); join against
+        # queries_segment to normalize a cell by ITS segment's host
+        # speed
+        "segment_np_canary_s": segment_np_canary,
         "host_load_1m_pre": host_load_1m,
         "dirty_kb_pre_sync": dirty_kb,
         # context recycled every N entries so per-cell figures can't
