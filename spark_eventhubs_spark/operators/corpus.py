@@ -312,18 +312,30 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     Exactness: elements are float32 read as exact doubles; the op
     order (v*127.0, /scale, +0.5, floor) is pinned and IEEE-identical
-    in both engines. Scale: narrow per-row array math, no shuffle."""
+    in both engines. Scale: narrow per-row array math, no shuffle.
+    The scale is STAGED as its own projected column before the code
+    lambda references it: inlined, the array_max(transform(...))
+    subtree sits inside the per-element lambda body and is
+    re-evaluated for every element — O(dim^2) work per row.
+    CollapseProject keeps the stage (a non-cheap alias referenced
+    three times is not re-inlined), so scale is computed once per
+    row."""
     v = F.col(vec_col)
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale_expr = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    staged = df.select(
+        F.col("vec_id"), v.alias("_qvec"), scale_expr.alias("_qscale")
+    )
+    sv = F.col("_qvec")
+    scale = F.col("_qscale")
     codes = F.when(
         scale > 0,
         F.transform(
-            v,
+            sv,
             lambda x: F.floor(x.cast("double") * F.lit(127.0) / scale + F.lit(0.5))
             .cast("int"),
         ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return df.select(
+    ).otherwise(F.transform(sv, lambda x: F.lit(0)))
+    return staged.select(
         F.col("vec_id"),
         F.floor(scale * F.lit(1_000_000.0)).cast("long").alias("scale_micros"),
         codes.alias("codes"),

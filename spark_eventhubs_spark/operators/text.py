@@ -1005,14 +1005,15 @@ def cms_estimates(
     Scale: ONE pass over the token stream builds per-token counts
     (vocabulary-sized, map-side combined); the sketch is then a
     depth-way posexplode of THAT compacted frame summed into
-    depth x width cells, and the probe's true counts are an IN-filter
-    of the same frame — so the corpus text is tokenized exactly once.
-    Pre-r13 the token stream was re-produced per depth row (a
-    depth-way unionAll of independent explode subtrees) plus once
-    more for the true counts: 5 full scans of the corpus per run,
-    none deduplicated by exchange reuse. Sketch totals are sums of
-    per-token counts — identical integers to counting occurrences
-    directly (the CMS cell content is unchanged)."""
+    depth x width cells. The probe's true counts RIDE the same
+    (j, cell) aggregation as a ``collect_list(when(isin))`` side
+    channel: an IN-filter on the compacted frame would push below the
+    token aggregate into the scan (breaking exchange reuse) and
+    re-produce the whole corpus tokenization for a 10-row answer —
+    inside an aggregate expression it cannot. One corpus scan total.
+    Sketch totals are sums of per-token counts — identical integers
+    to counting occurrences directly (the CMS cell content is
+    unchanged)."""
     probe = probe if probe is not None else list(CMS_PROBE)
     tc = (
         df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
@@ -1020,6 +1021,7 @@ def cms_estimates(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     cells = tc.select(
+        "token",
         "n",
         F.posexplode(
             F.array(*[
@@ -1028,32 +1030,43 @@ def cms_estimates(
             ])
         ).alias("j", "cell"),
     )
-    sketch = cells.groupBy("j", "cell").agg(F.sum("n").alias("c"))
+    sketch = cells.groupBy("j", "cell").agg(
+        F.sum("n").alias("c"),
+        F.collect_list(
+            F.when(F.col("token").isin(probe), F.struct("token", "n"))
+        ).alias("ptoks"),
+    )
 
     probe_df = df.sparkSession.createDataFrame(
         [(t,) for t in probe], "token string"
     )
     probe_cells = probe_df.select(
-        "token",
+        F.col("token").alias("ptoken"),
         F.posexplode(
             F.array(*[
                 F.pmod(md5_hash64(F.col("token"), seed=j + 1), F.lit(width))
                 for j in range(depth)
             ])
         ).alias("j", "cell"),
-    ).select("token", F.col("j").cast("long").alias("j"), "cell")
-    est = (
-        probe_cells.join(F.broadcast(sketch), ["j", "cell"])
-        .groupBy("token")
-        .agg(F.min("c").alias("est_c"))
+    ).select("ptoken", F.col("j").cast("long").alias("j"), "cell")
+    # Occupied probe cells only (inner join), exactly like the pre-r13
+    # probe_cells->sketch join: an unoccupied cell contributes no row,
+    # and a fully-absent probe token coalesces to 0 below. F.get (not
+    # element_at) so an absent token's empty filter result is NULL
+    # under ANSI instead of an index error.
+    own = F.get(
+        F.filter(F.col("ptoks"), lambda s: s["token"] == F.col("ptoken")), 0
     )
-    true_c = (
-        tc.where(F.col("token").isin(probe))
-        .select("token", F.col("n").alias("true_c"))
+    per = (
+        sketch.join(F.broadcast(probe_cells), ["j", "cell"])
+        .groupBy(F.col("ptoken").alias("token"))
+        .agg(
+            F.min("c").alias("est_c"),
+            F.max(own["n"]).alias("true_c"),
+        )
     )
     return (
-        probe_df.join(true_c, "token", "left")
-        .join(est, "token", "left")
+        probe_df.join(F.broadcast(per), "token", "left")
         .select(
             "token",
             F.coalesce(F.col("true_c"), F.lit(0)).alias("true_c"),
