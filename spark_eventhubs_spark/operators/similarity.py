@@ -764,7 +764,59 @@ def kmeans_refine_centroids(
     sums. Multi-iteration runs persist the narrow vector projection so
     each Lloyd step re-reads cached columns, not parquet. Returns
     [(cid, [centroid floats])] sorted by cid.
-    """
+
+    The refined codebook is a session-scoped INGEST ARTIFACT (r13,
+    same contract as ``clustering.kmeans_centroids``): a pure
+    deterministic function of (corpus, seeds, n_cells, iters), so it
+    is memoized via ``cache_dataframe`` under a non-"query" prefix
+    (the bench's artifact-build counter records every build). Keyed
+    on analyzed-plan + input-file fingerprints + every training
+    parameter + a seed fingerprint — a different corpus, file set,
+    knob, or seed set retrains."""
+    return _cached_model(
+        df,
+        ("ivf_refined_cents", n_cells, iters, dim, id_col, vec_col,
+         _seed_fp(seed_cents)),
+        lambda: _refine_centroids_uncached(
+            df, n_cells, iters, id_col, vec_col, seed_cents
+        ),
+    )
+
+
+def _seed_fp(seeds) -> str:
+    """Stable fingerprint of an explicit seed list (or 'default')."""
+    import hashlib as _hl
+
+    if seeds is None:
+        return "default"
+    return _hl.md5(repr(seeds).encode()).hexdigest()
+
+
+def _cached_model(df: DataFrame, key_tail: tuple, build):
+    """Session-scoped memo for trained model artifacts (IVF/PQ
+    codebooks): key = analyzed-plan fingerprint + input-file
+    fingerprint + the caller's parameter tail."""
+    import hashlib as _hl
+
+    from spark_eventhubs_spark.plans.hubview import cache_dataframe
+
+    plan_fp = _hl.md5(
+        df._jdf.queryExecution().analyzed().toString().encode()
+    ).hexdigest()
+    files_fp = _hl.md5("\x00".join(sorted(df.inputFiles())).encode()).hexdigest()
+    return cache_dataframe(
+        df.sparkSession, key_tail[:1] + (plan_fp, files_fp) + key_tail[1:], build
+    )
+
+
+def _refine_centroids_uncached(
+    df: DataFrame,
+    n_cells: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    seed_cents: list | None,
+) -> list:
     import numpy as np
 
     if seed_cents is not None:
@@ -1189,7 +1241,36 @@ def pq_train(
 
     Scale: identical properties to :func:`kmeans_refine_centroids` —
     no vector shuffle, per-iteration traffic is m * n_centroids *
-    (dim/m) partial sums = dim * n_centroids doubles total."""
+    (dim/m) partial sums = dim * n_centroids doubles total.
+
+    The trained codebooks are a session-scoped INGEST ARTIFACT (r13,
+    same contract as ``clustering.kmeans_centroids``), memoized via
+    ``cache_dataframe`` keyed on analyzed-plan + input-file
+    fingerprints + every training parameter + a seed fingerprint;
+    the bench's artifact-build counter records every build."""
+    seed_key = _seed_fp(
+        None if seed_rows is None
+        else [(r["cid"], tuple(float(x) for x in r["cvec"])) for r in seed_rows]
+    )
+    return _cached_model(
+        df,
+        ("pq_codebooks", m, n_centroids, iters, dim, id_col, vec_col, seed_key),
+        lambda: _pq_train_uncached(
+            df, m, n_centroids, iters, dim, id_col, vec_col, seed_rows
+        ),
+    )
+
+
+def _pq_train_uncached(
+    df: DataFrame,
+    m: int,
+    n_centroids: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    seed_rows: list | None,
+) -> list:
     import numpy as np
 
     if seed_rows is None:
