@@ -1303,11 +1303,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     same view (top supplier(s) of the quarter). Scale: the view
     aggregates lineitem down to |suppliers| rows; the MAX is a 1-row
     broadcast (scalar, hint kept); supplier is sf-linear — the tiny
-    post-filter left side makes AQE pick the right strategy unhinted. The view is computed once
-    and reused (Spark reuses the exchange under AQE)."""
+    post-filter left side makes AQE pick the right strategy unhinted.
+    The explicit l_suppkey NOT NULL on the shared base (a no-op on
+    TPC-H data — the column is spec-non-nullable) keeps the two rev
+    consumers canonically identical: without it the supplier inner
+    join pushes IsNotNull(l_suppkey) into only the main branch's
+    scan, the exchanges stop matching, and AQE re-runs the whole
+    lineitem aggregation for the 1-row MAX (2 scans, reuse=0 —
+    measured r13)."""
     l = _table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _TS("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _TS("1996-04-01 00:00:00"))
+        & F.col("l_suppkey").isNotNull()
     )
     s = _table(spark, sf_dir, "supplier")
     rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
@@ -4360,8 +4367,14 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried doubled (med2 = 2*median, mad4 = 4*MAD) and the 3-sigma
     test `|x-med| > 3*MAD` becomes the integer `2*dev2 > 3*mad4` —
     no float ever crosses the engines. Scale: the hourly rollup
-    map-side combines; med/mad frames are bounded by the event-type
-    domain (5 rows), hence safe broadcast hints."""
+    map-side combines; med2/mad4 are per-type PERCENTILE WINDOWS over
+    the one hourly frame (bounded by |types| x hours) sharing a single
+    event_type exchange — pre-r13 they were separate aggregate frames
+    broadcast-joined back, which re-produced the hub scan + rollup
+    once per consumer (4 scans, no exchange reuse)."""
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("event_type")
     hourly = (
         load_hub_flat(spark, sf_dir)
         .groupBy(
@@ -4369,17 +4382,16 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
-    med = hourly.groupBy("event_type").agg(
-        (F.expr("percentile(cnt, 0.5)") * 2).cast("bigint").alias("med2")
-    )
-    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
-        "dev2", F.abs(2 * F.col("cnt") - F.col("med2"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        (F.expr("percentile(dev2, 0.5)") * 2).cast("bigint").alias("mad4")
-    )
+    dev = hourly.withColumn(
+        "med2",
+        (F.percentile(F.col("cnt"), F.lit(0.5)).over(wu) * 2).cast("bigint"),
+    ).withColumn("dev2", F.abs(2 * F.col("cnt") - F.col("med2")))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.withColumn(
+            "mad4",
+            (F.percentile(F.col("dev2"), F.lit(0.5)).over(wu) * 2)
+            .cast("bigint"),
+        )
         .where(2 * F.col("dev2") > 3 * F.col("mad4"))
         .select("event_type", "hour_bucket", "cnt", "med2", "mad4")
     )
@@ -4419,21 +4431,26 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     only against other 3am traffic. Exactness: the 1.5x test is the
     integer cross-multiplication `cnt * n_days * 100 > 150 * total`,
     no division on either engine. Scale: ONE corpus-sized map-side-
-    combined rollup to (type, day, hod) cells; the baseline is
-    |types| x 24 rows, broadcast back onto the cells; output is the
-    baseline's own row count."""
+    combined rollup to (type, day, hod) cells; the per-slot baseline
+    (n_days, total_events) rides COUNT/SUM windows over the same
+    cells frame — pre-r13 it was a separate aggregate broadcast-
+    joined back, which re-produced the hub scan + rollup for a
+    |types| x 24-row answer (2 scans, no exchange reuse). All
+    post-rollup exchanges are cells-sized."""
+    from pyspark.sql import Window
+
     hub = load_hub_flat(spark, sf_dir)
     cells = hub.groupBy(
         "event_type",
         F.expr("enq_us div 86400000000").alias("day_bucket"),
         F.expr("(enq_us div 3600000000) % 24").alias("hod"),
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    base = cells.groupBy("event_type", "hod").agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum("cnt").cast("long").alias("total_events"),
-    )
+    ws = Window.partitionBy("event_type", "hod")
     return (
-        cells.join(F.broadcast(base), ["event_type", "hod"])
+        cells.withColumn(
+            "n_days", F.count(F.lit(1)).over(ws).cast("long")
+        )
+        .withColumn("total_events", F.sum("cnt").over(ws).cast("long"))
         .groupBy(
             "event_type",
             F.col("hod").cast("long").alias("hod"),

@@ -530,14 +530,17 @@ def test_scd2_single_logic_shuffle(spark):
     assert phys.count("Window") == 4
 
 
-def test_mad_hints_are_bounded_frames_only(spark):
-    """ts_mad_outliers: three hint nodes, all on per-event-type
-    aggregates bounded by the 5-value event_type domain (the med hint
-    appears twice because dev's lineage feeds both the mad aggregate
-    and the final join)."""
+def test_mad_medians_ride_windows_single_scan(spark):
+    """ts_mad_outliers (r13): med2/mad4 are percentile windows over
+    the ONE hourly frame — no joins, a single events scan, and both
+    Window nodes partitioned by event_type (pre-r13: separate
+    aggregate frames broadcast-joined back, 4 scans)."""
     df = Q.queries()["ts_mad_outliers"](spark, SF_DIR)
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("strategy=broadcast") == 3
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in phys
+    assert phys.count("FileScan parquet") == 1
+    assert phys.count("Window") == 2
+    assert phys.count("percentile") >= 2
 
 
 def test_dpp_scan_prunes_partitions_dynamically(spark):
