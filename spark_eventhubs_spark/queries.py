@@ -1046,21 +1046,19 @@ WHERE p.p_size <= 10""",
 )
 def q2_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN subquery (cheapest part per
-    (type, size) group), decorrelated to aggregate + self-join — the
-    rewrite Catalyst itself applies to the subquery form. Scale: the
-    aggregate output is |type×size| rows -> broadcast; part is scanned
-    twice but both scans are pruned to 5 columns and filter-pushed."""
+    (type, size) group), decorrelated to a per-group MIN WINDOW +
+    equality filter over ONE pruned scan — the r13 form of the
+    aggregate + self-join rewrite Catalyst applies to the subquery
+    (that form scanned part twice with no exchange reuse). The
+    (type, size) key is high-cardinality-uniform, so the single
+    window exchange is skew-free."""
+    from pyspark.sql import Window
+
     p = _table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
-    m = p.groupBy(
-        F.col("p_type").alias("m_type"), F.col("p_size").alias("m_size")
-    ).agg(F.min("p_retailprice").alias("min_price"))
+    wm = Window.partitionBy("p_type", "p_size")
     return (
-        p.join(
-            F.broadcast(m),
-            (p["p_type"] == F.col("m_type"))
-            & (p["p_size"] == F.col("m_size"))
-            & (p["p_retailprice"] == F.col("min_price")),
-        )
+        p.withColumn("min_price", F.min("p_retailprice").over(wm))
+        .where(F.col("p_retailprice") == F.col("min_price"))
         .select(
             F.col("p_partkey").alias("partkey"),
             F.col("p_name").alias("name"),
@@ -1423,12 +1421,17 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so join strategy is AQE's size-checked call; the aggregate
     shrinks to |suppliers| before the outer semi join; the 1.5x-average threshold is scale-invariant, so the
     filter discriminates at any sf. l_quantity is integral, so the
-    per-supplier sums are exact."""
+    per-supplier sums are exact. The explicit l_suppkey NOT NULL on
+    the shared base (a no-op on spec-non-nullable data) keeps the
+    shipped view's two consumers canonically identical so AQE reuses
+    its aggregation instead of re-running the lineitem semi-join +
+    rollup for the 1-row threshold (the q15 fix, same mechanism)."""
     s = _table(spark, sf_dir, "supplier")
     parts = _table(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select("p_partkey")
     l = _table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _TS("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _TS("1997-01-01 00:00:00"))
+        & F.col("l_suppkey").isNotNull()
     )
     shipped = (
         l.join(parts, l["l_partkey"] == parts["p_partkey"], "left_semi")
@@ -3982,20 +3985,23 @@ GROUP BY 1, 2""",
 def hub_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-cohort matrix: users grouped by first-activity day,
     counted on each later active day offset — the standard DAU
-    retention triangle. Scale: first-day and active-day frames both
-    reduce to |users| / |users x days| rows BEFORE the join, which is
-    then an equi-join of two compact frames on the uniform user key;
-    the final aggregate is |cohorts x offsets|."""
+    retention triangle. Scale: ONE hub scan reduces to the distinct
+    |users x days| frame; the cohort day is MIN(d) over a per-user
+    window on that frame (floor commutes with min, so min-of-day ==
+    day-of-min) — pre-r13 the first-day frame was a separate
+    aggregate joined back, re-running the hub scan. Both exchanges
+    are post-reduction; the final aggregate is |cohorts x offsets|."""
+    from pyspark.sql import Window
+
     hub = load_hub_flat(spark, sf_dir)
-    f = hub.groupBy(F.col("user_id_str").alias("u")).agg(
-        F.floor(F.min("enq_us") / F.lit(_DAY_US)).cast("long").alias("cohort_day")
-    )
     a = hub.select(
         F.col("user_id_str").alias("u"),
         F.floor(F.col("enq_us") / F.lit(_DAY_US)).cast("long").alias("d"),
     ).distinct()
     return (
-        a.join(f, "u")
+        a.withColumn(
+            "cohort_day", F.min("d").over(Window.partitionBy("u"))
+        )
         .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
@@ -4917,35 +4923,50 @@ def hub_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     last engagement event type), so the result attributes revenue to
     the engagement state the user was in when they bought. Version
     membership is [valid_from, valid_to) at microsecond granularity in
-    both engines. Scale: the dim side leaves scd2_compact already
-    hash-partitioned on user_id_str (the window's exchange is reused
-    by the sort-merge join — no second dim shuffle); the fact side
-    shuffles once; per-user version counts bound the join fan-out, so
-    no range-join explosion. Reference parity: this is the batch
-    analogue of enriching hub events against a slowly-changing
-    reference table keyed by the event's enqueue time
-    (M/eventhubs/EventHubsConf.scala positions semantics)."""
-    hub = load_hub_flat(spark, sf_dir)
-    dim = scd2_compact(
-        hub.where(F.col("event_type") != "purchase")
-    ).select(
-        F.col("user_id_str").alias("d_user"),
+    both engines. Scale (r13): the run-compacted dim join is
+    algebraically a per-user CARRY-FORWARD — the version valid at
+    fact time t is the state of the last non-purchase event with
+    enq_us <= t (runs change exactly at state changes, so the run
+    covering t contains that event; a run starting exactly at t wins
+    over its predecessor, hence non-purchase rows order BEFORE
+    purchases at an equal timestamp). That makes the whole PIT join
+    one running last_value window over a single hub scan and ONE
+    user_id_str exchange — pre-r13 it was two filtered hub scans
+    (dim + fact) and a sort-merge range join whose per-user
+    versions x purchases post-filter did the same work quadratically.
+    Reference parity: this is the batch analogue of enriching hub
+    events against a slowly-changing reference table keyed by the
+    event's enqueue time (M/eventhubs/EventHubsConf.scala positions
+    semantics)."""
+    from pyspark.sql import Window
+
+    evt = load_hub_flat(spark, sf_dir).select(
+        "user_id_str",
+        "event_type",
+        "enq_us",
+        "sequenceNumber",
+        "value_cents",
+        (F.col("event_type") == "purchase").cast("int").alias("is_fact"),
+    )
+    w = (
+        Window.partitionBy("user_id_str")
+        .orderBy("enq_us", "is_fact", "sequenceNumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = evt.withColumn(
         "state",
-        "valid_from_us",
-        "valid_to_us",
+        F.last(
+            F.when(F.col("is_fact") == 0, F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
     )
-    fact = hub.where(F.col("event_type") == "purchase").select(
-        "user_id_str", "enq_us", "value_cents"
-    )
-    joined = fact.join(
-        dim,
-        (F.col("user_id_str") == F.col("d_user"))
-        & (F.col("valid_from_us") <= F.col("enq_us"))
-        & (F.col("valid_to_us").isNull() | (F.col("enq_us") < F.col("valid_to_us"))),
-    )
-    return joined.groupBy("state").agg(
-        F.count(F.lit(1)).cast("long").alias("n_purchases"),
-        F.sum("value_cents").cast("long").alias("sum_value_cents"),
+    return (
+        staged.where((F.col("is_fact") == 1) & F.col("state").isNotNull())
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("value_cents").cast("long").alias("sum_value_cents"),
+        )
     )
 
 
@@ -4976,17 +4997,29 @@ def hub_partition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count, enqueue-time extent, lag of its frontier behind the
     global maximum (drift_us — the watermark-delay driver), and its
     integer events/hour rate. Scale: one map-side-combined groupBy to
-    |partitions| rows; the global frontier is a 1-row broadcast
-    cross join (the documented scalar-broadcast pattern), never a
-    global window."""
+    |partitions| rows; the global frontier is MAX over an
+    unpartitioned window ON THAT FRAME — safe precisely because the
+    frame is bounded by the hub's partition COUNT (a config constant,
+    not sf-linear), and strictly better than the pre-r13 scalar
+    broadcast whose 1-row aggregate re-ran the whole hub scan +
+    rollup (its partial aggregate prunes to max(last_us) only, so
+    the exchanges never canonicalize equal and AQE cannot reuse)."""
+    from pyspark.sql import Window
+
     hub = load_hub_flat(spark, sf_dir)
     p = hub.groupBy("partition").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.min("enq_us").alias("first_us"),
         F.max("enq_us").alias("last_us"),
     )
-    g = p.agg(F.max("last_us").alias("global_last_us"))
-    return p.crossJoin(F.broadcast(g)).select(
+    return p.withColumn(
+        "global_last_us",
+        F.max("last_us").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).select(
         "partition",
         "n_events",
         "first_us",

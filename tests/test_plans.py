@@ -455,14 +455,17 @@ def test_funnel_single_user_shuffle_three_windows(spark):
 
 
 def test_retention_preaggregates_before_join(spark):
-    """hub_retention_cohorts: both join inputs must be aggregates
-    (first-day frame and distinct active-day frame) — the join never
-    sees raw event rows."""
+    """hub_retention_cohorts (r13): the cohort day rides a per-user
+    MIN window over the ONE distinct (user, day) frame — no join, a
+    single events scan, and the window runs on the post-distinct
+    (reduced) frame, never raw event rows."""
     from spark_eventhubs_spark import queries as Q
 
     df = Q._QUERIES["hub_retention_cohorts"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
     # conservation: every user appears in offset 0 of its own cohort
     rows = df.collect()
     total_day0 = sum(r["n_users"] for r in rows if r["day_offset"] == 0)
