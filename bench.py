@@ -493,7 +493,21 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Self-archive the record (r13 verdict item 8): the r12 driver
+    # bench printed its JSON line but only a truncated tail of it was
+    # stored, erasing the round-over-round baseline. A tracked on-disk
+    # copy of the exact stdout line makes the record survive any
+    # stdout-capture truncation. Written AFTER all timing (untimed).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not lose the stdout record
+    print(line)
 
 
 if __name__ == "__main__":

@@ -29,10 +29,11 @@ def main() -> None:
     from spark_eventhubs_spark.streaming.stateful import streaming_sessionize
     import spark_eventhubs_spark.queries as Q
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("profile-sessionize")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config(

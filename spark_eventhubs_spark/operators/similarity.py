@@ -387,6 +387,184 @@ def _ivf_scan_fn(cents, probe_cids, qvec, query_vec_id, id_col, vec_col):
     return fn
 
 
+def _recall_scan_fn(
+    cents, probe_cids, qvec, qbucket, W, query_vec_id, k, id_col, vec_col
+):
+    """mapInPandas kernel for :func:`recall_topk_per_method`: ONE pass
+    over the corpus scoring every row against the query (brute leg)
+    and deciding LSH-bucket / IVF-probe-cell membership, then emitting
+    only each task's LOCAL top-k per method — the per-partition
+    partial top-k shape, so the downstream global rank sees <=
+    3k rows per task regardless of corpus size. All arithmetic via
+    :func:`_seq_dot_np` (bit-parity with the SQL oracle, proven by the
+    IVF/LSH legs it fuses)."""
+    import numpy as np
+
+    C = [np.asarray(v, dtype=np.float64) for _, v in cents]
+    cnorms = [_norm_py(v) for _, v in cents]
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    qv = np.asarray(qvec, dtype=np.float64)
+    qn = _norm_py(qvec)
+    probe = np.array(sorted(probe_cids), dtype=np.int64)
+
+    def fn(batches):
+        import pandas as pd
+
+        acc: dict = {m: ([], []) for m in ("brute", "lsh", "ivf")}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rn = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            nq = ids != query_vec_id
+            # brute score for every row (same float sequence as
+            # _ivf_scan_fn: cosine double, * 1e6, floor)
+            sq = _seq_dot_np(X, qv) / (rn * qn)
+            score = np.floor(sq * 1e6).astype(np.int64)
+            # LSH bucket (same fold as _bucket_frame)
+            bucket = np.zeros(len(X), dtype=np.int64)
+            for p in range(W.shape[0]):
+                bucket += (_seq_dot_np(X, W[p]) > 0).astype(np.int64) << p
+            # IVF cell (same argmax/tie semantics as _ivf_scan_fn)
+            S = np.empty((X.shape[0], len(C)), dtype=np.float64)
+            for j, c in enumerate(C):
+                S[:, j] = _seq_dot_np(X, c) / (rn * cnorms[j])
+            cell = cids[np.argmax(S, axis=1)]
+            for m, mask in (
+                ("brute", nq),
+                ("lsh", nq & (bucket == qbucket)),
+                ("ivf", nq & np.isin(cell, probe)),
+            ):
+                if mask.any():
+                    acc[m][0].append(ids[mask])
+                    acc[m][1].append(score[mask])
+        out_m, out_i, out_s = [], [], []
+        for m, (idl, scl) in acc.items():
+            if not idl:
+                continue
+            aid = np.concatenate(idl)
+            asc = np.concatenate(scl)
+            order = np.lexsort((aid, -asc))[:k]  # (score desc, id asc)
+            out_m += [m] * len(order)
+            out_i.append(aid[order])
+            out_s.append(asc[order])
+        if out_m:
+            yield pd.DataFrame({
+                "method": out_m,
+                id_col: np.concatenate(out_i),
+                "score_e6": np.concatenate(out_s),
+            })
+
+    return fn
+
+
+def recall_topk_per_method(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = DIM,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The three recall-evaluation top-k legs — brute-force ground
+    truth, LSH-bucketed ANN, IVF-probed ANN — from ONE corpus pass:
+    (method, id, score_e6) with exactly each method's global top-k,
+    bit-identical to running :func:`brute_force_topk`,
+    :func:`lsh_ann_topk` and :func:`ivf_ann_topk` separately (same
+    candidate sets, same sequential-fold scores, same
+    (score desc, id asc) tie order).
+
+    Why it exists (r13 verdict item 2): the recall@k entry built the
+    legs independently — three full corpus scans (two of them
+    Arrow-kernel passes), two plan-time driver jobs, and the per-leg
+    ``orderBy().limit()``s compiled under the final union/join into
+    single-partition GlobalLimit exchanges instead of
+    TakeOrderedAndProject, serializing a deep DAG of tiny stages (the
+    driver record read 2x SLOWER than the pre-r13 two-join form and
+    anti-scaled 0.49 at 8-vs-32 cores). Here: ONE driver collect
+    (codebook + query vector), ONE Arrow pass emitting per-task local
+    top-ks, ONE tiny 3-key exchange for the global rank.
+
+    Scale: the kernel's per-task output is <= 3k rows regardless of
+    corpus size; the rank shuffles <= 3k * n_tasks rows. At 100 TB the
+    bucket/cell ids are ingest-materialized partition columns and each
+    ANN leg prunes its scan instead (the entry measures the eval
+    harness, which must score the full corpus for ground truth
+    anyway)."""
+    import numpy as np
+
+    # ONE driver job: centroid codebook + query vector (the codebook
+    # always fits — C rows; the LSH leg's separate .first() job and
+    # the IVF leg's .collect() job are folded into this single pass)
+    need = df.where(
+        (F.col(id_col) < n_cells) | (F.col(id_col) == query_vec_id)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")).collect()
+    cent_rows = sorted(
+        (r for r in need if r["cid"] < n_cells), key=lambda r: r["cid"]
+    )
+    qvec = [float(x) for r in need if r["cid"] == query_vec_id for x in r["cvec"]]
+    if not qvec:
+        raise ValueError(
+            f"recall_topk_per_method: query vector {id_col}={query_vec_id}"
+            " not found"
+        )
+    cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in cent_rows]
+
+    # LSH: query bucket, driver-side (same fold as lsh_ann_topk)
+    W = np.array(
+        [[float(_plane_weight(p, i)) for i in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    x = np.asarray(qvec, dtype=np.float64)
+    qbucket = 0
+    for p in range(n_planes):
+        if _seq_dot_np(x[None, :], W[p])[0] > 0:
+            qbucket |= 1 << p
+
+    # IVF: probe-cell ranking, driver-side (same _cos_py sequence as
+    # ivf_ann_topk — Python floats are IEEE doubles)
+    import math
+
+    def _dot_py(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    def _cos_py(a, b):
+        return _dot_py(a, b) / (
+            math.sqrt(_dot_py(a, a)) * math.sqrt(_dot_py(b, b))
+        )
+
+    ranked = sorted(
+        ((_cos_py(v, qvec), cid) for cid, v in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cids = [cid for _, cid in ranked[:n_probe]]
+
+    local = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _recall_scan_fn(
+            cents, probe_cids, qvec, qbucket, W, query_vec_id, k,
+            id_col, vec_col,
+        ),
+        schema=f"method string, {id_col} long, score_e6 long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("method").orderBy(
+        F.col("score_e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def _cell_partials_fn(cents, vec_col):
     """mapInPandas kernel for the Lloyd update step: per Arrow batch,
     assign rows to their nearest centroid (same argmax/tie semantics as

