@@ -1325,6 +1325,7 @@ def exact_substring_spans_incremental(
     store_df: DataFrame,
     min_len: int = SPAN_MIN_LEN,
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Span profile for an INCOMING batch against a stored gram
     frequency store (the daily-crawl shape of
@@ -1343,13 +1344,23 @@ def exact_substring_spans_incremental(
     count window over the gram hash of the ONE batch gram frame
     (pre-r13 an aggregate-and-rejoin that re-ran the batch explode
     per consumer); the batch side is one stride-1 explode of the NEW
-    data only."""
+    data only.
+
+    ``grams`` (r14): a caller-supplied (doc_id, i, h) frame — MUST
+    equal ``substring_grams(batch_df, min_len, text_col)`` — lets the
+    ingest twin persist the batch gram explode once per trigger and
+    share it between this profile's TWO consumers (the semi-prune's
+    distinct-h set and the covered frame) and the store-delta write,
+    instead of re-running the tokenize+explode+hash production three
+    times per micro-batch (plans are per-action; AQE never dedups
+    across actions)."""
     from pyspark.sql import Window
 
     L = min_len
     toks = tokens_col(F.col(text_col))
     n_g = F.size(toks) - F.lit(L) + 1
-    grams = substring_grams(batch_df, L, text_col)
+    if grams is None:
+        grams = substring_grams(batch_df, L, text_col)
     stored = (
         store_df.join(grams.select("h").distinct(), "h", "left_semi")
         .groupBy("h")

@@ -3221,12 +3221,25 @@ def stream_substring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = spark.read.parquet(store0).unionByName(
             spark.read.parquet(*prev)
         )
-        D.exact_substring_spans_incremental(bdf, store).write.mode(
-            "overwrite"
-        ).parquet(_os.path.join(out, f"b{bid}"))
-        D.substring_grams(bdf).groupBy("h").agg(
-            F.count("*").cast("long").alias("n_occ")
-        ).write.mode("overwrite").parquet(_os.path.join(delta, f"b{bid}"))
+        # ONE batch gram explode per trigger (r14, verdict item 7):
+        # the tokenize+posexplode+hash production was re-executed for
+        # each of the trigger's actions (span-profile write, delta
+        # write) AND for the profile's semi-prune leg — three times
+        # per micro-batch. A within-trigger persist (bounded: the
+        # batch's gram rows, released before the trigger commits) is
+        # the addBatch analogue of the guide's materialize-the-shared-
+        # front rule; it is NOT a cross-run cache — each trigger
+        # builds and drops its own frame.
+        grams = D.substring_grams(bdf).persist()
+        try:
+            D.exact_substring_spans_incremental(bdf, store, grams=grams).write.mode(
+                "overwrite"
+            ).parquet(_os.path.join(out, f"b{bid}"))
+            grams.groupBy("h").agg(
+                F.count("*").cast("long").alias("n_occ")
+            ).write.mode("overwrite").parquet(_os.path.join(delta, f"b{bid}"))
+        finally:
+            grams.unpersist()
 
     try:
         q = (
